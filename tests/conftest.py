@@ -1,0 +1,44 @@
+"""Test env: force CPU backend with 8 virtual devices (multi-chip sharding tests
+run on a host mesh — SURVEY.md §4c)."""
+
+import os
+
+# Must be set before jax backend initialization. NOTE: the axon TPU plugin in
+# this image ignores the JAX_PLATFORMS env var — jax.config.update is the only
+# reliable way to pin the CPU backend.
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+
+@pytest.fixture(scope="session")
+def reference_vitef():
+    """Import the read-only PyTorch reference as a golden oracle (never copied).
+
+    Stubs tiktoken (absent in this image) which the reference's gpt2 module
+    imports at package-import time.
+    """
+    import types
+
+    if "tiktoken" not in sys.modules:
+        stub = types.ModuleType("tiktoken")
+        stub.get_encoding = lambda name: None
+        sys.modules["tiktoken"] = stub
+    ref_src = "/root/reference/src"
+    if ref_src not in sys.path:
+        sys.path.insert(0, ref_src)
+    import vitef.models.transformer.architecture as ref_arch
+
+    return ref_arch

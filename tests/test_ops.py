@@ -1,0 +1,121 @@
+"""Op-level tests: XLA reference paths vs numpy, Pallas kernels (interpret mode
+on CPU) vs XLA paths, and custom-VJP gradients."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from vitef_tpu.ops.attention import attention_reference, flash_attention
+from vitef_tpu.ops.layernorm import layer_norm, layer_norm_xla
+
+
+def numpy_attention(q, k, v, causal=False):
+    d = q.shape[-1]
+    scores = np.einsum("nhqd,nhkd->nhqk", q, k).astype(np.float64) / np.sqrt(d)
+    if causal:
+        lq, lk = q.shape[2], k.shape[2]
+        mask = np.tril(np.ones((lq, lk), bool))
+        scores = np.where(mask, scores, -1e30)
+    w = np.exp(scores - scores.max(-1, keepdims=True))
+    w /= w.sum(-1, keepdims=True)
+    return np.einsum("nhqk,nhkd->nhqd", w, v)
+
+
+class TestLayerNorm:
+    def test_xla_vs_numpy(self):
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(4, 7, 96)).astype(np.float32)
+        w = rng.normal(size=(96,)).astype(np.float32)
+        b = rng.normal(size=(96,)).astype(np.float32)
+        out = layer_norm_xla(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b), 1e-12)
+        mu = x.mean(-1, keepdims=True)
+        var = x.var(-1, keepdims=True)
+        ref = (x - mu) / np.sqrt(var + 1e-12) * w + b
+        np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+    def test_pallas_interpret_matches_xla(self):
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.normal(size=(3, 5, 128)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(128,)).astype(np.float32))
+        b = jnp.asarray(rng.normal(size=(128,)).astype(np.float32))
+        ref = layer_norm(x, w, b, eps=1e-6, impl="xla")
+        with pltpu.force_tpu_interpret_mode():
+            out = layer_norm(x, w, b, eps=1e-6, impl="pallas")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    def test_pallas_grad_matches_xla(self):
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.normal(size=(2, 3, 128)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(128,)).astype(np.float32))
+        b = jnp.asarray(rng.normal(size=(128,)).astype(np.float32))
+
+        def loss(impl):
+            def f(x, w, b):
+                out = layer_norm(x, w, b, eps=1e-6, impl=impl)
+                return jnp.sum(out * jnp.cos(out))  # nontrivial cotangent
+            return f
+
+        gx_ref, gw_ref, gb_ref = jax.grad(loss("xla"), argnums=(0, 1, 2))(x, w, b)
+        with pltpu.force_tpu_interpret_mode():
+            gx, gw, gb = jax.grad(loss("pallas"), argnums=(0, 1, 2))(x, w, b)
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_ref), atol=1e-3)
+        np.testing.assert_allclose(np.asarray(gb), np.asarray(gb_ref), atol=1e-3)
+
+    def test_no_bias(self):
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.normal(size=(4, 64)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(64,)).astype(np.float32))
+        out = layer_norm(x, w, None, eps=1e-5, impl="xla")
+        assert out.shape == (4, 64)
+
+
+class TestAttention:
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_xla_vs_numpy(self, causal):
+        rng = np.random.default_rng(4)
+        q, k, v = (rng.normal(size=(2, 3, 17, 16)).astype(np.float32) for _ in range(3))
+        out = attention_reference(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                                  causal=causal)
+        ref = numpy_attention(q, k, v, causal=causal)
+        np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+    @pytest.mark.parametrize("causal", [False, True])
+    @pytest.mark.parametrize("seq_len", [64, 197])
+    def test_pallas_interpret_matches_xla(self, causal, seq_len):
+        rng = np.random.default_rng(5)
+        q, k, v = (rng.normal(size=(1, 2, seq_len, 32)).astype(np.float32)
+                   for _ in range(3))
+        ref = flash_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                              causal=causal, impl="xla")
+        with pltpu.force_tpu_interpret_mode():
+            out = flash_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                                  causal=causal, impl="pallas")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_flash_grad_matches_xla(self):
+        rng = np.random.default_rng(6)
+        q, k, v = (jnp.asarray(rng.normal(size=(1, 2, 64, 32)).astype(np.float32))
+                   for _ in range(3))
+
+        def loss(impl):
+            def f(q, k, v):
+                return jnp.sum(jnp.square(
+                    flash_attention(q, k, v, causal=False, impl=impl)))
+            return f
+
+        ref_grads = jax.grad(loss("xla"), argnums=(0, 1, 2))(q, k, v)
+        with pltpu.force_tpu_interpret_mode():
+            grads = jax.grad(loss("pallas"), argnums=(0, 1, 2))(q, k, v)
+        for g, gr in zip(grads, ref_grads):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(gr), atol=1e-4)
+
+    def test_verbose_weights_rows_sum_to_one(self):
+        rng = np.random.default_rng(7)
+        q, k, v = (jnp.asarray(rng.normal(size=(2, 2, 9, 8)).astype(np.float32))
+                   for _ in range(3))
+        _, w = attention_reference(q, k, v, return_weights=True)
+        np.testing.assert_allclose(np.asarray(w.sum(-1)), 1.0, atol=1e-6)

@@ -1,0 +1,201 @@
+"""Golden parity: vitef_tpu transformer vs the PyTorch reference oracle.
+
+Copies the SAME weights into both implementations and compares forward logits,
+attention matrices, decomposition, and probes (SURVEY.md §4b: tolerance 1e-3;
+fp32 single-chip comparisons here use tighter bounds).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vitef_tpu.models.transformer import (
+    TransformerConfig,
+    apply_transformer,
+    get_decomposition,
+    get_probes,
+)
+from vitef_tpu.models.torch_import import from_vitef_state_dict
+
+
+def make_ref_model(ref_arch, **kwargs):
+    import torch
+
+    torch.manual_seed(0)
+    cfg = ref_arch.TransformerConfig(**kwargs)
+    model = ref_arch.Transformer(cfg)
+    model.eval()
+    return model, cfg
+
+
+VIT_LIKE = dict(
+    image_dim=(3, 32, 32),
+    patch_type="computer_vision",
+    image_patch="hybrid",
+    patch_size=8,
+    emb_type="linear",
+    emb_dim=48,
+    n_heads=4,
+    n_layers=3,
+    ffn_dim=192,
+    pos_emb=True,
+    emb_dropout=0.0,
+    attn_bias=True,
+    attn_dropout=0.0,
+    flash=False,
+    causal=False,
+    activation="gelu",
+    ffn_bias=True,
+    ffn_dropout=0.0,
+    norm="layer",
+    norm_bias=True,
+    norm_eps=1e-12,
+    pre_norm=True,
+    cls_token=True,
+    output_type="classification",
+    weight_tying=False,
+    output_dropout=0.0,
+    n_classes=10,
+)
+
+GPT_LIKE = dict(
+    patch_type=None,
+    vocab_size=100,
+    emb_type="dict",
+    emb_dim=48,
+    n_heads=4,
+    n_layers=2,
+    pos_emb=True,
+    seq_len=16,
+    emb_dropout=0.0,
+    attn_bias=True,
+    attn_dropout=0.0,
+    flash=False,
+    causal=True,
+    activation="gelu",
+    ffn_bias=True,
+    ffn_dropout=0.0,
+    norm="layer",
+    norm_bias=True,
+    norm_eps=1e-5,
+    pre_norm=True,
+    cls_token=False,
+    output_type="sequence_to_sequence",
+    weight_tying=True,
+    output_dropout=0.0,
+)
+
+
+def to_jax(ref_model, n_layers):
+    sd = {k: np.asarray(v.detach().numpy()) for k, v in ref_model.state_dict().items()}
+    return from_vitef_state_dict(sd, n_layers)
+
+
+def my_config(**kwargs):
+    return TransformerConfig(attn_impl="xla", norm_impl="xla", **kwargs)
+
+
+class TestViTLike:
+    @pytest.fixture(scope="class")
+    def setup(self, reference_vitef):
+        import torch
+
+        ref_model, _ = make_ref_model(reference_vitef, **VIT_LIKE)
+        params = to_jax(ref_model, VIT_LIKE["n_layers"])
+        cfg = my_config(**VIT_LIKE)
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(2, 3, 32, 32)).astype(np.float32)
+        with torch.inference_mode():
+            ref_logits = ref_model(torch.from_numpy(x)).numpy()
+            ref_dec = {k: v.numpy() for k, v in ref_model.get_decomposition(torch.from_numpy(x)).items()}
+            ref_probes = {k: v.numpy() for k, v in ref_model.get_probes(torch.from_numpy(x)).items()}
+            _, ref_att = ref_model(torch.from_numpy(x), verbose=True)
+        return ref_model, params, cfg, x, ref_logits, ref_dec, ref_probes, ref_att.numpy()
+
+    def test_forward(self, setup):
+        _, params, cfg, x, ref_logits, *_ = setup
+        logits = apply_transformer(params, cfg, jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(logits), ref_logits, atol=2e-5, rtol=1e-4)
+
+    def test_attention_matrices(self, setup):
+        _, params, cfg, x, _, _, _, ref_att = setup
+        _, att = apply_transformer(params, cfg, jnp.asarray(x), verbose=True)
+        np.testing.assert_allclose(np.asarray(att), ref_att, atol=2e-5, rtol=1e-4)
+
+    def test_decomposition(self, setup):
+        _, params, cfg, x, _, ref_dec, _, _ = setup
+        dec = get_decomposition(params, cfg, jnp.asarray(x))
+        assert set(dec) == set(ref_dec)
+        for k in ref_dec:
+            np.testing.assert_allclose(
+                np.asarray(dec[k]), ref_dec[k], atol=2e-5, rtol=1e-4, err_msg=k
+            )
+
+    def test_probes(self, setup):
+        _, params, cfg, x, _, _, ref_probes, _ = setup
+        probes = get_probes(params, cfg, jnp.asarray(x))
+        assert set(probes) == set(ref_probes)
+        for k in ref_probes:
+            np.testing.assert_allclose(
+                np.asarray(probes[k]), ref_probes[k], atol=3e-5, rtol=1e-4, err_msg=k
+            )
+
+
+class TestGPTLike:
+    def test_forward_and_probes(self, reference_vitef):
+        import torch
+
+        ref_model, _ = make_ref_model(reference_vitef, **GPT_LIKE)
+        params = to_jax(ref_model, GPT_LIKE["n_layers"])
+        params["output"]["output_layer"].pop("head", None)  # weight-tied
+        cfg = my_config(**GPT_LIKE)
+        rng = np.random.default_rng(1)
+        tokens = rng.integers(0, 100, size=(2, 16))
+        with torch.inference_mode():
+            ref_logits = ref_model(torch.from_numpy(tokens)).numpy()
+        logits = apply_transformer(params, cfg, jnp.asarray(tokens))
+        np.testing.assert_allclose(np.asarray(logits), ref_logits, atol=2e-5, rtol=1e-4)
+
+
+class TestPostNormBatchNorm:
+    def test_forward(self, reference_vitef):
+        import torch
+
+        kwargs = dict(
+            length=64,
+            patch_type="time_series",
+            patch_size=16,
+            stride=8,
+            emb_type="linear",
+            emb_dim=32,
+            n_heads=4,
+            n_layers=2,
+            ffn_dim=64,
+            pos_emb=True,
+            attn_bias=True,
+            flash=False,
+            causal=False,
+            activation="gelu",
+            ffn_bias=True,
+            norm="batch",
+            norm_bias=True,
+            norm_eps=1e-5,
+            pre_norm=False,
+            cls_token=False,
+            output_type="forecasting",
+            weight_tying=False,
+            forecasting_horizon=24,
+            dropout=0.0,
+        )
+        ref_model, _ = make_ref_model(reference_vitef, **kwargs)
+        ref_model.train()  # batch statistics (our batch norm uses batch stats)
+        params = to_jax(ref_model, 2)
+        cfg = my_config(**kwargs)
+        rng = np.random.default_rng(2)
+        x = rng.normal(size=(4, 64)).astype(np.float32)
+        with torch.no_grad():
+            ref_out = ref_model(torch.from_numpy(x)).numpy()
+        out = apply_transformer(params, cfg, jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(out), ref_out, atol=5e-5, rtol=1e-3)

@@ -1,0 +1,23 @@
+"""vitef_tpu — a TPU-native JAX framework with the capabilities of
+ambroiseodt/vit-plasticity.
+
+Layer map (mirrors reference `src/vitef`, redesigned TPU-first):
+  - ``vitef_tpu.config``   : path constants + seeding          (ref: src/vitef/config.py)
+  - ``vitef_tpu.utils``    : typed config builder, jsonl IO,
+                             CLI harnesses, tree helpers        (ref: src/vitef/utils.py)
+  - ``vitef_tpu.ops``      : Pallas TPU kernels + XLA reference
+                             paths (layernorm, flash attention,
+                             on-device augment)                 (ref: torch C++/CUDA core)
+  - ``vitef_tpu.models``   : functional transformer + ViT/GPT2/
+                             PatchTST presets, HF weight import (ref: src/vitef/models)
+  - ``vitef_tpu.optim``    : optax optimizers/schedules +
+                             component freeze masks             (ref: src/vitef/optim.py)
+  - ``vitef_tpu.parallel`` : Mesh/NamedSharding dp/fsdp/tp,
+                             jitted train step                  (ref: src/vitef/distributed.py)
+  - ``vitef_tpu.data``     : image dataset catalog + host→device
+                             pipeline with on-device augment    (ref: src/vitef/data/images)
+  - ``vitef_tpu.monitor``  : jsonl logger, orbax checkpointing,
+                             orchestrator, utility              (ref: src/vitef/monitor)
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,76 @@
+"""Model factory — dispatch on ``config['implementation']``.
+
+Reference: src/vitef/models/utils.py:25-85 (build_model on
+{gpt2, patchtst, transformer, vit}). Returns a functional :class:`Model` bundle:
+params pytree + TransformerConfig + pure apply functions (no device move — JAX
+placement is driven by shardings at the call site).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+
+from ..utils.typed import asdict_filtered, build_with_type_check
+from . import transformer as T
+from .transformer import TransformerConfig
+
+
+@dataclass
+class Model:
+    """Functional model bundle: immutable config + factory-made param pytree."""
+
+    params: dict
+    config: TransformerConfig
+    name: str
+
+    def apply(self, params, x, **kw):
+        return T.apply_transformer(params, self.config, x, **kw)
+
+    def get_decomposition(self, params, x):
+        return T.get_decomposition(params, self.config, x)
+
+    def get_probes(self, params, x):
+        return T.get_probes(params, self.config, x)
+
+    def n_params(self) -> int:
+        return T.n_params(self.params)
+
+
+def build_model(config: dict[str, Any], key=None, return_config: bool = False):
+    """Build a model from a flat dict config (consumed via pop, like the reference)."""
+    config = dict(config)
+    implementation = config.pop("implementation", "vit")
+    if key is None:
+        key = jax.random.key(config.pop("seed", 0))
+
+    impl = implementation.lower()
+    if impl == "vit":
+        from .vit import ViTConfig, build_vit
+
+        cfg = build_with_type_check(ViTConfig, config)
+        params, tcfg, name = build_vit(cfg, key)
+    elif impl == "gpt2":
+        from .gpt2 import GPT2Config, build_gpt2
+
+        cfg = build_with_type_check(GPT2Config, config)
+        params, tcfg, name = build_gpt2(cfg, key)
+    elif impl == "patchtst":
+        from .patchtst import PatchTSTConfig, build_patchtst
+
+        cfg = build_with_type_check(PatchTSTConfig, config)
+        params, tcfg, name = build_patchtst(cfg, key)
+    elif impl == "transformer":
+        cfg = build_with_type_check(TransformerConfig, config)
+        params = T.init_transformer(key, cfg)
+        tcfg, name = cfg, "transformer"
+    else:
+        raise ValueError(f"Implementation {implementation} not found.")
+
+    model = Model(params=params, config=tcfg, name=name)
+    if return_config:
+        return model, asdict_filtered(cfg)
+    return model

@@ -1,0 +1,566 @@
+"""Generic encoder/decoder transformer — functional JAX core.
+
+Reference: src/vitef/models/transformer/architecture.py (TransformerConfig :48-123,
+SelfAttention :131-239, FeedForward :247-299, TransformerBlock :307-502,
+Embedding :510-678, Output :686-775, Transformer :783-911).
+
+TPU-first redesign:
+  - Pure functional: ``params = init_transformer(key, cfg)`` builds a pytree of
+    named parameter dicts; ``apply_transformer(params, cfg, x)`` is a pure jittable
+    function. No module objects, no mutation.
+  - Parameter tree names mirror the reference state-dict vocabulary
+    (``embedding.{patching,token_emb,cls_token,pos_emb}``,
+    ``blocks[i].{attn_norm, attn.qkv_mat, attn.output, ffn_norm, ffn.fc1, ffn.fc2}``,
+    ``output.output_layer.*``) so the freeze-component map
+    (reference apps/vit/utils.py:67-74) and the HF weight correspondence
+    (reference vit.py:263-303) port directly.
+  - Linear weights are stored (in, out) for ``x @ w`` — torch/HF (out, in) weights
+    are transposed at import time (see vit.py/gpt2.py presets).
+  - Mixed precision: params live in float32; activations run in
+    ``cfg.compute_dtype`` (bfloat16 on TPU), with fp32 matmul accumulation and
+    fp32 layernorm/softmax statistics.
+  - ``get_decomposition`` / ``get_probes`` are jittable instrumented applies that
+    return per-component activations **on device** (the reference moves each to
+    CPU immediately — architecture.py:402-416); host transfer is the caller's
+    choice. Their quirks are reproduced exactly: decomposition applies every
+    component of every block to the same embedding-layer output (architecture.py
+    :877-881 never advances the hidden state) and fc2 receives the zero-padded
+    input ``cat(x, 0, 0, 0)`` (architecture.py:414-416).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from dataclasses import dataclass, field
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import multi_head_attention
+from ..ops.common import best_precision, dropout as _dropout
+from .norms import apply_norm, init_norm
+from .patching import (
+    extract_patches_chw,
+    image_patch_dims,
+    patch_images_raw,
+    patch_timeseries,
+    timeseries_patch_dims,
+)
+
+# ---------------------------------------------------------------------------
+# Config
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class TransformerConfig:
+    """Superset of the reference TransformerConfig (architecture.py:48-123) plus
+    TPU execution knobs (compute_dtype / impl / remat)."""
+
+    # Data parameters
+    image_dim: tuple = (3, 224, 224)
+    length: int = 512
+
+    # Patching parameters
+    patch_type: str | None = None  # None | computer_vision | time_series
+    image_patch: str = "hybrid"  # raw | hybrid
+    patch_size: int = 16
+    stride: int = 8
+
+    # Embedding parameters
+    vocab_size: int = -1
+    emb_type: str = "dict"  # dict | linear
+    emb_dim: int = -1
+    pos_emb: bool = True
+    freeze_pos: bool = False
+    seq_len: int = -1
+    emb_dropout: float | None = None
+
+    # Attention parameters
+    n_heads: int = -1
+    attn_bias: bool = False
+    attn_dropout: float | None = None
+    flash: bool = True  # use the fused kernel path (verbose falls back to einsum)
+    causal: bool = False
+
+    # Feed-forward parameters
+    activation: str = "gelu"
+    ffn_dim: int | None = None
+    ffn_bias: bool = False
+    ffn_dropout: float | None = None
+
+    # Transformer block parameters
+    norm: str = "layer"  # batch | layer | rms
+    norm_bias: bool = False
+    norm_eps: float = 1e-5
+    pre_norm: bool = True
+
+    # Transformer parameters
+    n_layers: int = -1
+    dropout: float = 0.0
+
+    # Task-specific parameters
+    cls_token: bool = False
+    output_type: str = "sequence_to_sequence"
+    weight_tying: bool = True
+    output_dropout: float | None = None
+    n_classes: int = -1
+    forecasting_horizon: int = -1
+
+    # --- TPU execution knobs (not in the reference) ---
+    compute_dtype: str = "float32"  # activation dtype: float32 | bfloat16
+    attn_impl: str = "auto"  # auto | pallas | xla
+    norm_impl: str = "auto"
+    remat: bool = False  # jax.checkpoint each block (HBM↔FLOPs trade)
+
+    # Derived (filled in __post_init__)
+    n_patches: int = field(default=-1)
+    patch_dim: int = field(default=-1)
+
+    def __post_init__(self):
+        if self.ffn_dim is None:
+            self.ffn_dim = 4 * self.emb_dim
+        for name in ("emb_dropout", "attn_dropout", "ffn_dropout", "output_dropout"):
+            if getattr(self, name) is None:
+                setattr(self, name, self.dropout)
+        if isinstance(self.image_dim, list):
+            self.image_dim = tuple(self.image_dim)
+        # Patching-derived dims (reference Embedding.__init__ mutates config:
+        # architecture.py:570-595 sets seq_len=n_patches, vocab_size=patch_dim).
+        if self.patch_type:
+            pt = self.patch_type.lower()
+            if pt == "computer_vision":
+                self.n_patches, self.patch_dim = image_patch_dims(
+                    self.image_dim, self.patch_size
+                )
+            elif pt == "time_series":
+                self.n_patches, self.patch_dim = timeseries_patch_dims(
+                    self.length, self.patch_size, self.stride
+                )
+            else:
+                raise ValueError(f"Unknown patch_type {self.patch_type!r}")
+            self.seq_len = self.n_patches
+            self.vocab_size = self.patch_dim
+        if self.cls_token:
+            self.seq_len = self.seq_len + 1
+        if self.emb_dim > 0 and self.n_heads > 0:
+            assert self.emb_dim % self.n_heads == 0, (
+                "Embedding dimension must be divisible by number of heads."
+            )
+
+    # -- helpers --------------------------------------------------------
+    @property
+    def hybrid_identity_emb(self) -> bool:
+        """Hybrid CV patching replaces token_emb by identity (architecture.py:622-629)."""
+        return bool(
+            self.patch_type
+            and self.patch_type.lower() == "computer_vision"
+            and self.image_patch.lower() == "hybrid"
+        )
+
+    def cdtype(self):
+        return jnp.dtype(self.compute_dtype)
+
+
+def config_to_dict(cfg: TransformerConfig) -> dict:
+    return dataclasses.asdict(cfg)
+
+
+# ---------------------------------------------------------------------------
+# Initialization (matches torch layer defaults: Linear/Conv U(±1/√fan_in),
+# Embedding N(0,1), norms ones/zeros, cls/pos tokens N(0,1))
+# ---------------------------------------------------------------------------
+
+
+def _init_linear(key, fan_in: int, fan_out: int, bias: bool) -> dict:
+    kw, kb = jax.random.split(key)
+    bound = 1.0 / math.sqrt(fan_in)
+    p = {"weight": jax.random.uniform(kw, (fan_in, fan_out), jnp.float32, -bound, bound)}
+    if bias:
+        p["bias"] = jax.random.uniform(kb, (fan_out,), jnp.float32, -bound, bound)
+    return p
+
+
+def init_embedding(key, cfg: TransformerConfig) -> dict:
+    keys = jax.random.split(key, 4)
+    p: dict[str, Any] = {}
+    if cfg.patch_type and cfg.patch_type.lower() == "computer_vision" \
+            and cfg.image_patch.lower() == "hybrid":
+        # Conv2d(C→E, k=P, s=P) as a (C·P·P, E) matmul over extracted patches.
+        c = cfg.image_dim[0]
+        fan_in = c * cfg.patch_size**2
+        p["patching"] = {"conv": _init_linear(keys[0], fan_in, cfg.emb_dim, bias=True)}
+    if not cfg.hybrid_identity_emb:
+        if cfg.emb_type.lower() == "dict":
+            p["token_emb"] = {
+                "weight": jax.random.normal(keys[1], (cfg.vocab_size, cfg.emb_dim))
+            }
+        elif cfg.emb_type.lower() == "linear":
+            p["token_emb"] = _init_linear(keys[1], cfg.vocab_size, cfg.emb_dim, bias=True)
+        else:
+            raise ValueError(f"Unknown embedding layer {cfg.emb_type!r}")
+    if cfg.cls_token:
+        p["cls_token"] = jax.random.normal(keys[2], (1, 1, cfg.emb_dim))
+    if cfg.pos_emb:
+        p["pos_emb"] = jax.random.normal(keys[3], (1, cfg.seq_len, cfg.emb_dim))
+    return p
+
+
+def init_block(key, cfg: TransformerConfig) -> dict:
+    keys = jax.random.split(key, 4)
+    e, f = cfg.emb_dim, cfg.ffn_dim
+    return {
+        "attn_norm": init_norm(e, cfg.norm_bias),
+        "attn": {
+            "qkv_mat": _init_linear(keys[0], e, 3 * e, cfg.attn_bias),
+            "output": _init_linear(keys[1], e, e, cfg.attn_bias),
+        },
+        "ffn_norm": init_norm(e, cfg.norm_bias),
+        "ffn": {
+            "fc1": _init_linear(keys[2], e, f, cfg.ffn_bias),
+            "fc2": _init_linear(keys[3], f, e, cfg.ffn_bias),
+        },
+    }
+
+
+def init_output(key, cfg: TransformerConfig) -> dict:
+    ot = cfg.output_type.lower()
+    if ot == "classification":
+        return {
+            "output_layer": {
+                "norm": init_norm(cfg.emb_dim, cfg.norm_bias),
+                "head": _init_linear(key, cfg.emb_dim, cfg.n_classes, bias=True),
+            }
+        }
+    if ot == "forecasting":
+        return {
+            "output_layer": {
+                "head": _init_linear(
+                    key, cfg.seq_len * cfg.emb_dim, cfg.forecasting_horizon, bias=True
+                )
+            }
+        }
+    if ot == "sequence_to_sequence":
+        p: dict[str, Any] = {"norm": init_norm(cfg.emb_dim, cfg.norm_bias)}
+        if not cfg.weight_tying:
+            p["head"] = _init_linear(key, cfg.emb_dim, cfg.vocab_size, bias=False)
+        return {"output_layer": p}
+    raise ValueError(f"Unknown output {cfg.output_type!r}")
+
+
+def init_transformer(key, cfg: TransformerConfig) -> dict:
+    k_emb, k_blocks, k_out = jax.random.split(key, 3)
+    block_keys = jax.random.split(k_blocks, cfg.n_layers)
+    return {
+        "embedding": init_embedding(k_emb, cfg),
+        "blocks": [init_block(block_keys[i], cfg) for i in range(cfg.n_layers)],
+        "output": init_output(k_out, cfg),
+    }
+
+
+def n_params(params) -> int:
+    return sum(x.size for x in jax.tree.leaves(params))
+
+
+# ---------------------------------------------------------------------------
+# Apply
+# ---------------------------------------------------------------------------
+
+
+_ACTIVATIONS = {
+    "gelu": lambda x: jax.nn.gelu(x, approximate=False),  # torch F.gelu = exact erf
+    "relu": jax.nn.relu,
+    "silu": jax.nn.silu,
+    "tanh": jnp.tanh,
+    "sigmoid": jax.nn.sigmoid,
+    "leaky_relu": jax.nn.leaky_relu,
+    "elu": jax.nn.elu,
+    "softplus": jax.nn.softplus,
+}
+
+
+def get_activation(name: str):
+    fn = _ACTIVATIONS.get(name.lower())
+    if fn is None:
+        raise ValueError(f"Unknown activation function {name!r}")
+    return fn
+
+
+def _linear(p: dict, x, compute_dtype):
+    w = p["weight"].astype(compute_dtype)
+    xc = x.astype(compute_dtype)
+    out = jnp.einsum(
+        "...i,ij->...j", xc, w,
+        precision=best_precision(xc, w), preferred_element_type=jnp.float32,
+    )
+    if "bias" in p:
+        out = out + p["bias"].astype(jnp.float32)
+    return out.astype(compute_dtype)
+
+
+def apply_embedding(params: dict, cfg: TransformerConfig, x, *,
+                    deterministic: bool = True, rng=None):
+    """Patch → token_emb → cls prepend → +pos_emb → dropout (architecture.py:644-678)."""
+    cd = cfg.cdtype()
+    if cfg.patch_type:
+        pt = cfg.patch_type.lower()
+        if pt == "computer_vision":
+            if cfg.image_patch.lower() == "hybrid":
+                patches = extract_patches_chw(x.astype(cd), cfg.patch_size)
+                out = _linear(params["patching"]["conv"], patches, cd)
+            else:
+                out = patch_images_raw(x.astype(cd), cfg.patch_size)
+        else:
+            out = patch_timeseries(x.astype(cd), cfg.patch_size, cfg.stride)
+    else:
+        out = x
+    if "token_emb" in params:
+        te = params["token_emb"]
+        if cfg.emb_type.lower() == "dict":
+            out = te["weight"].astype(cd)[out]
+        else:
+            out = _linear(te, out, cd)
+    n = out.shape[0]
+    if cfg.cls_token:
+        cls = jnp.broadcast_to(
+            params["cls_token"].astype(cd), (n, 1, cfg.emb_dim)
+        )
+        out = jnp.concatenate([cls, out], axis=1)
+    if cfg.pos_emb:
+        l = out.shape[1]
+        out = out + params["pos_emb"][:, :l].astype(cd)
+    if not deterministic and cfg.emb_dropout > 0:
+        out = _dropout(out, cfg.emb_dropout, rng, deterministic=False)
+    return out
+
+
+def apply_attention(params: dict, cfg: TransformerConfig, x, *,
+                    deterministic: bool = True, rng=None, verbose: bool = False):
+    """Fused-qkv MHA + output proj + dropout (architecture.py:205-239)."""
+    qkv, outp = params["qkv_mat"], params["output"]
+    impl = cfg.attn_impl if cfg.flash else "xla"
+    res = multi_head_attention(
+        x,
+        qkv["weight"], qkv.get("bias"),
+        outp["weight"], outp.get("bias"),
+        n_heads=cfg.n_heads,
+        causal=cfg.causal,
+        impl=impl,
+        verbose=verbose,
+        compute_dtype=cfg.cdtype(),
+    )
+    if verbose:
+        z, weights = res
+    else:
+        z = res
+    if not deterministic and cfg.attn_dropout > 0:
+        z = _dropout(z, cfg.attn_dropout, rng, deterministic=False)
+    if verbose:
+        return z, weights
+    return z
+
+
+def apply_ffn(params: dict, cfg: TransformerConfig, x, *,
+              deterministic: bool = True, rng=None):
+    """fc1 → activation → fc2 → dropout (architecture.py:281-299)."""
+    cd = cfg.cdtype()
+    act = get_activation(cfg.activation)
+    out = _linear(params["fc1"], x, cd)
+    out = act(out)
+    out = _linear(params["fc2"], out, cd)
+    if not deterministic and cfg.ffn_dropout > 0:
+        out = _dropout(out, cfg.ffn_dropout, rng, deterministic=False)
+    return out
+
+
+def _norm(params, cfg: TransformerConfig, x):
+    return apply_norm(params, x, kind=cfg.norm, eps=cfg.norm_eps, impl=cfg.norm_impl)
+
+
+def apply_block(params: dict, cfg: TransformerConfig, x, *,
+                deterministic: bool = True, rng=None, verbose: bool = False):
+    """Pre-/post-norm transformer block (architecture.py:369-380)."""
+    r1 = r2 = None
+    if rng is not None:
+        r1, r2 = jax.random.split(rng)
+    att = None
+    if cfg.pre_norm:
+        out = apply_attention(params["attn"], cfg, _norm(params["attn_norm"], cfg, x),
+                              deterministic=deterministic, rng=r1, verbose=verbose)
+        if verbose:
+            out, att = out
+        out = x + out
+        out = out + apply_ffn(params["ffn"], cfg, _norm(params["ffn_norm"], cfg, out),
+                              deterministic=deterministic, rng=r2)
+    else:
+        out = apply_attention(params["attn"], cfg, x,
+                              deterministic=deterministic, rng=r1, verbose=verbose)
+        if verbose:
+            out, att = out
+        out = _norm(params["attn_norm"], cfg, x + out)
+        out = _norm(params["ffn_norm"], cfg,
+                    out + apply_ffn(params["ffn"], cfg, out,
+                                    deterministic=deterministic, rng=r2))
+    if verbose:
+        return out, att
+    return out
+
+
+def apply_output(params: dict, cfg: TransformerConfig, x, *, emb_params=None,
+                 deterministic: bool = True, rng=None):
+    """Task head (architecture.py:355-563): classification (CLS-token pool),
+    forecasting (flatten), or seq2seq (optionally weight-tied)."""
+    cd = cfg.cdtype()
+    p = params["output_layer"]
+    ot = cfg.output_type.lower()
+    if ot == "classification":
+        out = _norm(p["norm"], cfg, x)
+        if not deterministic and cfg.output_dropout > 0:
+            out = _dropout(out, cfg.output_dropout, rng, deterministic=False)
+        out = out[:, 0, :]  # CLS token (transformer/utils.py:420)
+        return _linear(p["head"], out, cd).astype(jnp.float32)
+    if ot == "forecasting":
+        n = x.shape[0]
+        out = x.reshape(n, -1)
+        if not deterministic and cfg.output_dropout > 0:
+            out = _dropout(out, cfg.output_dropout, rng, deterministic=False)
+        return _linear(p["head"], out, cd).astype(jnp.float32)
+    if ot == "sequence_to_sequence":
+        out = _norm(p["norm"], cfg, x)
+        if not deterministic and cfg.output_dropout > 0:
+            out = _dropout(out, cfg.output_dropout, rng, deterministic=False)
+        if cfg.weight_tying:
+            w = emb_params["token_emb"]["weight"].astype(cd)  # (V, E)
+            logits = jnp.einsum("nle,ve->nlv", out.astype(cd), w,
+                                precision=best_precision(w),
+                                preferred_element_type=jnp.float32)
+            return logits.astype(jnp.float32)
+        return _linear(p["head"], out, cd).astype(jnp.float32)
+    raise ValueError(f"Unknown output {cfg.output_type!r}")
+
+
+def apply_transformer(params: dict, cfg: TransformerConfig, x, *,
+                      deterministic: bool = True, rng=None, verbose: bool = False):
+    """Full forward (architecture.py:824-854). ``verbose=True`` additionally returns
+    the stacked (n_layers, N, h, L, L) attention matrices."""
+    n_rngs = cfg.n_layers + 2
+    rngs = [None] * n_rngs
+    if rng is not None and not deterministic:
+        rngs = list(jax.random.split(rng, n_rngs))
+    out = apply_embedding(params["embedding"], cfg, x,
+                          deterministic=deterministic, rng=rngs[0])
+    block_fn = apply_block
+    if cfg.remat and not verbose:
+        block_fn = jax.checkpoint(
+            apply_block, static_argnums=(1,),
+            static_argnames=("deterministic", "verbose"),
+        )
+    attentions = []
+    for i, bp in enumerate(params["blocks"]):
+        out = block_fn(bp, cfg, out, deterministic=deterministic,
+                       rng=rngs[1 + i], verbose=verbose)
+        if verbose:
+            out, att = out
+            attentions.append(att)
+    out = apply_output(params["output"], cfg, out, emb_params=params["embedding"],
+                       deterministic=deterministic, rng=rngs[-1])
+    if verbose:
+        return out, jnp.stack(attentions)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Introspection: decomposition & probes (jittable, on-device)
+# ---------------------------------------------------------------------------
+
+
+def block_decompose(params: dict, cfg: TransformerConfig, x) -> dict:
+    """Each component applied to the SAME input x (architecture.py:385-418).
+
+    fc2 receives ``cat(x, 0, 0, 0)`` zero-padded to ffn_dim (architecture.py:414-416)
+    — a load-bearing quirk of the paper's plasticity statistic; reproduced, not fixed.
+    """
+    cd = cfg.cdtype()
+    out = {
+        "attn_norm": _norm(params["attn_norm"], cfg, x),
+        "attn": apply_attention(params["attn"], cfg, x, deterministic=True),
+        "ffn_norm": _norm(params["ffn_norm"], cfg, x),
+        "ffn_fc1": _linear(params["ffn"]["fc1"], x, cd),
+    }
+    pad = cfg.ffn_dim - cfg.emb_dim
+    expanded = jnp.concatenate(
+        [x, jnp.zeros(x.shape[:-1] + (pad,), x.dtype)], axis=-1
+    )
+    out["ffn_fc2"] = _linear(params["ffn"]["fc2"], expanded, cd)
+    return out
+
+
+def block_probes(params: dict, cfg: TransformerConfig, x):
+    """Hidden state after each of 8 stages (architecture.py:420-502)."""
+    cd = cfg.cdtype()
+    act = get_activation(cfg.activation)
+    probes = {}
+    if cfg.pre_norm:
+        out = _norm(params["attn_norm"], cfg, x)
+        probes["attn_norm"] = out
+        out = apply_attention(params["attn"], cfg, out, deterministic=True)
+        probes["attn"] = out
+        out_res = x + out
+        probes["attn_res"] = out_res
+        out = _norm(params["ffn_norm"], cfg, out_res)
+        probes["ffn_norm"] = out
+        out = _linear(params["ffn"]["fc1"], out, cd)
+        probes["ffn_fc1"] = out
+        out = act(out)
+        probes["ffn_activation"] = out
+        out = _linear(params["ffn"]["fc2"], out, cd)
+        probes["ffn_fc2"] = out
+        out = out_res + out
+        probes["ffn_res"] = out
+    else:
+        out = apply_attention(params["attn"], cfg, x, deterministic=True)
+        probes["attn"] = out
+        out = x + out
+        probes["attn_res"] = out
+        out_res = _norm(params["attn_norm"], cfg, out)
+        probes["attn_norm"] = out_res
+        out = _linear(params["ffn"]["fc1"], out_res, cd)
+        probes["ffn_fc1"] = out
+        out = act(out)
+        probes["ffn_activation"] = out
+        out = _linear(params["ffn"]["fc2"], out, cd)
+        probes["ffn_fc2"] = out
+        out = out_res + out
+        probes["ffn_res"] = out
+        out = _norm(params["ffn_norm"], cfg, out)
+        probes["ffn_norm"] = out
+    return out, probes
+
+
+def get_decomposition(params: dict, cfg: TransformerConfig, x) -> dict:
+    """Per-block component outputs, all on the embedding-layer output.
+
+    Key vocabulary and no-advance semantics match architecture.py:856-883 exactly:
+    keys are ``embedding`` and ``block{i}_{attn_norm,attn,ffn_norm,ffn_fc1,ffn_fc2}``,
+    and every block decomposes the SAME embedding output.
+    """
+    out = apply_embedding(params["embedding"], cfg, x, deterministic=True)
+    outputs = {"embedding": out}
+    for i, bp in enumerate(params["blocks"]):
+        for key, val in block_decompose(bp, cfg, out).items():
+            outputs[f"block{i}_{key}"] = val
+    return outputs
+
+
+def get_probes(params: dict, cfg: TransformerConfig, x) -> dict:
+    """Per-block stage-wise hidden states; the state DOES advance through blocks
+    (architecture.py:885-911). Keys: ``block{i}_{stage}`` for 8 stages."""
+    out = apply_embedding(params["embedding"], cfg, x, deterministic=True)
+    probes = {}
+    for i, bp in enumerate(params["blocks"]):
+        out, block_p = block_probes(bp, cfg, out)
+        for key, val in block_p.items():
+            probes[f"block{i}_{key}"] = val
+    return probes

@@ -1,0 +1,229 @@
+"""Multi-head attention: Pallas TPU flash kernel + XLA reference einsum path.
+
+Replaces the reference's two-path SelfAttention
+(src/vitef/models/transformer/architecture.py:205-239): a manual
+``q@k^T/sqrt(d) -> softmax -> @v`` path that can return attention matrices
+(verbose=True), and torch's fused F.scaled_dot_product_attention. Here:
+
+  - :func:`attention_reference` — the XLA einsum path, fp32 softmax, optionally
+    returning the (N, h, L, L) attention matrix for probing parity.
+  - :func:`flash_attention` — an online-softmax Pallas kernel. K/V for one
+    (batch, head) are resident in VMEM (L ≤ a few K for every model family in
+    scope: 197 for ViT, 1024 for GPT2), the query dimension is tiled, and the
+    kv dimension is looped with running (max, sum) accumulation so the kernel
+    also holds for longer L with kv-tiling. Backward recomputes attention via
+    the XLA path (flash-style rematerialisation: O(L) residuals, not O(L²)).
+
+All matmuls use fp32 accumulation (preferred_element_type), inputs may be bf16.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .common import best_precision, resolve_impl
+
+_NEG_INF = -1e30
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# XLA reference path (also the verbose / attention-matrix path)
+# ---------------------------------------------------------------------------
+
+
+def attention_reference(q, k, v, *, causal: bool = False, kv_len: int | None = None,
+                        return_weights: bool = False):
+    """Softmax attention on (N, h, L, d) tensors with fp32 softmax.
+
+    ``kv_len`` masks out padded key positions (keys with index >= kv_len).
+    """
+    n, h, lq, d = q.shape
+    lk = k.shape[2]
+    scale = 1.0 / math.sqrt(d)
+    scores = jnp.einsum("nhqd,nhkd->nhqk", q, k,
+                        precision=best_precision(q, k),
+                        preferred_element_type=jnp.float32)
+    scores = scores * scale
+    if kv_len is not None and kv_len < lk:
+        kmask = jnp.arange(lk) < kv_len
+        scores = jnp.where(kmask[None, None, None, :], scores, _NEG_INF)
+    if causal:
+        qi = jnp.arange(lq)[:, None]
+        ki = jnp.arange(lk)[None, :]
+        scores = jnp.where(ki <= qi, scores, _NEG_INF)
+    weights = jax.nn.softmax(scores, axis=-1)
+    wts = weights.astype(v.dtype)
+    out = jnp.einsum("nhqk,nhkd->nhqd", wts, v,
+                     precision=best_precision(wts, v),
+                     preferred_element_type=jnp.float32).astype(q.dtype)
+    if return_weights:
+        return out, weights
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Pallas flash kernel
+# ---------------------------------------------------------------------------
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, sm_scale, causal, kv_len,
+                  block_q, block_kv):
+    # q_ref: (block_q, d); k_ref/v_ref: (L_pad, d); o_ref: (block_q, d)
+    qi = pl.program_id(2)
+    q = q_ref[:].astype(jnp.float32) * sm_scale
+    lk_pad, d = k_ref.shape
+    num_kv = lk_pad // block_kv
+
+    m0 = jnp.full((block_q, 1), _NEG_INF, dtype=jnp.float32)
+    s0 = jnp.zeros((block_q, 1), dtype=jnp.float32)
+    a0 = jnp.zeros((block_q, d), dtype=jnp.float32)
+
+    q_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0)
+
+    def body(j, carry):
+        m, s, acc = carry
+        k = k_ref[pl.ds(j * block_kv, block_kv), :].astype(jnp.float32)
+        v = v_ref[pl.ds(j * block_kv, block_kv), :].astype(jnp.float32)
+        scores = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )  # (block_q, block_kv)
+        kv_pos = j * block_kv + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_kv), 1
+        )
+        mask = kv_pos < kv_len
+        if causal:
+            mask = jnp.logical_and(mask, kv_pos <= q_pos)
+        scores = jnp.where(mask, scores, _NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(scores, axis=-1, keepdims=True))
+        p = jnp.exp(scores - m_new)
+        alpha = jnp.exp(m - m_new)
+        s_new = s * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        return m_new, s_new, acc_new
+
+    m, s, acc = jax.lax.fori_loop(0, num_kv, body, (m0, s0, a0))
+    o_ref[:] = (acc / jnp.maximum(s, 1e-30)).astype(o_ref.dtype)
+
+
+def _flash_forward(q, k, v, causal: bool, kv_len: int, block_q: int, block_kv: int):
+    n, h, lq_pad, d = q.shape
+    lk_pad = k.shape[2]
+    sm_scale = 1.0 / math.sqrt(d)
+    grid = (n, h, lq_pad // block_q)
+    kernel = functools.partial(
+        _flash_kernel, sm_scale=sm_scale, causal=causal, kv_len=kv_len,
+        block_q=block_q, block_kv=block_kv,
+    )
+    # None dims are squeezed: refs arrive 2-D ((block_q, d) / (lk_pad, d)).
+    q_spec = pl.BlockSpec((None, None, block_q, d), lambda b, hh, i: (b, hh, i, 0),
+                          memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((None, None, lk_pad, d), lambda b, hh, i: (b, hh, 0, 0),
+                           memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[q_spec, kv_spec, kv_spec],
+        out_specs=q_spec,
+        out_shape=jax.ShapeDtypeStruct((n, h, lq_pad, d), q.dtype),
+    )(q, k, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _flash(q, k, v, causal, kv_len, block_q, block_kv):
+    return _flash_forward(q, k, v, causal, kv_len, block_q, block_kv)
+
+
+def _flash_fwd(q, k, v, causal, kv_len, block_q, block_kv):
+    out = _flash_forward(q, k, v, causal, kv_len, block_q, block_kv)
+    return out, (q, k, v)
+
+
+def _flash_bwd(causal, kv_len, block_q, block_kv, residuals, g):
+    # Flash-style rematerialisation: recompute the attention in XLA and
+    # differentiate it. Residuals are O(N·h·L·d); L² lives only inside this
+    # backward computation where XLA fuses it.
+    q, k, v = residuals
+    def f(q, k, v):
+        return attention_reference(q, k, v, causal=causal, kv_len=kv_len)
+    _, vjp = jax.vjp(f, q, k, v)
+    return vjp(g)
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_attention(q, k, v, *, causal: bool = False, impl: str = "auto",
+                    block_q: int = 128, block_kv: int = 128):
+    """Flash attention on (N, h, L, d). Pads L internally to block multiples."""
+    impl = resolve_impl(impl)
+    if impl == "xla":
+        return attention_reference(q, k, v, causal=causal)
+    n, h, l, d = q.shape
+    block_q = min(block_q, _round_up(l, 128))
+    block_kv = min(block_kv, _round_up(l, 128))
+    l_pad = _round_up(l, max(block_q, block_kv))
+    if l_pad != l:
+        pad = ((0, 0), (0, 0), (0, l_pad - l), (0, 0))
+        q = jnp.pad(q, pad)
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
+    out = _flash(q, k, v, causal, l, block_q, block_kv)
+    if l_pad != l:
+        out = out[:, :, :l, :]
+    return out
+
+
+def multi_head_attention(x, qkv_w, qkv_b, out_w, out_b, *, n_heads: int,
+                         causal: bool = False, impl: str = "auto",
+                         verbose: bool = False, compute_dtype=None):
+    """Full MHA: fused qkv matmul → attention → output projection.
+
+    Mirrors reference SelfAttention.forward (architecture.py:205-239): fused qkv
+    Linear(E, 3E), head split E→(h, E/h) head-major, softmax attention, output
+    Linear(E, E). ``verbose=True`` forces the reference path and also returns the
+    (N, h, L, L) attention matrix (architecture.py:214-226, 237-238).
+    """
+    n, l, e = x.shape
+    d = e // n_heads
+    xc = x if compute_dtype is None else x.astype(compute_dtype)
+    w = qkv_w if compute_dtype is None else qkv_w.astype(compute_dtype)
+    qkv = jnp.einsum("nle,ef->nlf", xc, w, precision=best_precision(xc, w),
+                     preferred_element_type=jnp.float32)
+    if qkv_b is not None:
+        qkv = qkv + qkv_b.astype(jnp.float32)
+    qkv = qkv.astype(xc.dtype)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    # (N, L, E) -> (N, h, L, d)
+    q, k, v = (t.reshape(n, l, n_heads, d).transpose(0, 2, 1, 3) for t in (q, k, v))
+    weights = None
+    if verbose:
+        z, weights = attention_reference(q, k, v, causal=causal, return_weights=True)
+    else:
+        z = flash_attention(q, k, v, causal=causal, impl=impl)
+    z = z.transpose(0, 2, 1, 3).reshape(n, l, e)
+    ow = out_w if compute_dtype is None else out_w.astype(compute_dtype)
+    out = jnp.einsum("nle,ef->nlf", z, ow, precision=best_precision(z, ow),
+                     preferred_element_type=jnp.float32)
+    if out_b is not None:
+        out = out + out_b.astype(jnp.float32)
+    out = out.astype(x.dtype)
+    if verbose:
+        return out, weights
+    return out

@@ -1,0 +1,58 @@
+"""Array/pytree helpers: numpy conversion, dict accumulation, deterministic splits.
+
+Reference: src/vitef/utils.py:173-230 (`get_numpy`, `update_dict`,
+`deterministic_split`, `json_serializable`). The deterministic split must be
+bit-exact with the reference (fixed numpy seed 42 permutation with global RNG
+save/restore — src/vitef/utils.py:221-230) so dataset membership matches.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+
+def get_numpy(x) -> np.ndarray:
+    """Device array / scalar → host numpy (reference: utils.py:182-187)."""
+    return np.asarray(x)
+
+
+def json_serializable(d: dict) -> dict:
+    """Make a flat config dict json-safe: Paths → str (reference: utils.py:195-205)."""
+    out = {}
+    for k, v in d.items():
+        if isinstance(v, Path):
+            out[k] = str(v)
+        elif isinstance(v, dict):
+            out[k] = json_serializable(v)
+        elif isinstance(v, (list, tuple)):
+            out[k] = [str(x) if isinstance(x, Path) else x for x in v]
+        else:
+            out[k] = v
+    return out
+
+
+def update_dict(acc: dict, new: dict) -> dict:
+    """Accumulate dict-of-arrays by np.concatenate (reference: utils.py:208-218)."""
+    for k, v in new.items():
+        v = np.asarray(v)
+        if k in acc:
+            acc[k] = np.concatenate([acc[k], v], axis=0)
+        else:
+            acc[k] = v
+    return acc
+
+
+def deterministic_split(n: int, split: float = 0.8) -> tuple[np.ndarray, np.ndarray]:
+    """Fixed-seed-42 permutation split — bit-exact with reference utils.py:221-230.
+
+    The reference saves the global numpy RNG state, seeds 42, permutes, restores.
+    We reproduce the identical permutation via the same legacy global-seed API.
+    """
+    state = np.random.get_state()
+    np.random.seed(42)
+    perm = np.random.permutation(n)
+    np.random.set_state(state)
+    n_train = int(split * n)
+    return perm[:n_train], perm[n_train:]
