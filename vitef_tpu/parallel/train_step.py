@@ -1,0 +1,138 @@
+"""One jitted train step: forward + backward + clip + optim + metrics.
+
+Reference hot loop: apps/vit/train.py:243-340 — per microbatch forward,
+``F.cross_entropy / grad_acc``, backward, then (after grad_acc_steps microbatches)
+clip_grad_norm_ → optimizer.step → scheduler.step → zero_grad, logging loss /
+grad_norm / lr.
+
+TPU-first redesign (SURVEY §7.0): the whole thing is ONE ``jax.jit``-compiled
+function over the mesh. Gradient accumulation is a ``lax.scan`` over microbatches
+inside the step (identical loss scaling: grads averaged over microbatches —
+hard part 8). The data-parallel gradient all-reduce is inserted by XLA from the
+batch/param shardings; no explicit collectives. Freeze masks live inside the
+optax transform (see vitef_tpu.optim), so one compiled step serves every freeze
+configuration.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+class TrainState(NamedTuple):
+    """Carries exactly what the reference checkpoints: model params, optimizer
+    state, and the step counters of apps/vit/utils.py TrainingState (:23-46).
+    ``acc_step`` is always 0 at step boundaries here (accumulation happens
+    inside the jitted step) but is kept for checkpoint-layout parity."""
+
+    params: Any
+    opt_state: Any
+    step: jax.Array  # optimizer steps taken
+    acc_step: jax.Array  # microbatches since last optimizer step
+
+
+def cross_entropy_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """Mean softmax cross entropy with integer labels (torch F.cross_entropy)."""
+    return optax.softmax_cross_entropy_with_integer_labels(
+        logits.astype(jnp.float32), labels
+    ).mean()
+
+
+def init_train_state(params, tx) -> TrainState:
+    return TrainState(
+        params=params,
+        opt_state=tx.init(params),
+        step=jnp.zeros((), jnp.int32),
+        acc_step=jnp.zeros((), jnp.int32),
+    )
+
+
+def make_train_step(
+    apply_fn: Callable,
+    tx: optax.GradientTransformation,
+    *,
+    grad_acc_steps: int = 1,
+    loss_fn: Callable = cross_entropy_loss,
+    schedule: Callable | None = None,
+    base_lr: float = 0.0,
+    trainable: Any = None,
+    donate: bool = True,
+):
+    """Build the jitted train step ``(state, batch, rng) -> (state, metrics)``.
+
+    ``batch`` is ``(x, y)`` with a leading batch axis of ``grad_acc_steps * micro``;
+    when ``grad_acc_steps > 1`` the step scans over microbatches and averages
+    gradients (reference loss/grad_acc scaling, train.py:263-274). ``trainable``
+    is the bool mask used only for the logged grad_norm (clip itself lives in
+    ``tx``), matching clip_grad_norm_ over requires_grad params (train.py:278).
+    """
+    from ..optim import global_grad_norm
+
+    def loss_of(params, x, y, rng):
+        logits = apply_fn(params, x, deterministic=rng is None, rng=rng)
+        return loss_fn(logits, y)
+
+    grad_fn = jax.value_and_grad(loss_of)
+
+    def compute_grads(params, x, y, rng):
+        if grad_acc_steps == 1:
+            return grad_fn(params, x, y, rng)
+        micro = x.shape[0] // grad_acc_steps
+        xs = x.reshape(grad_acc_steps, micro, *x.shape[1:])
+        ys = y.reshape(grad_acc_steps, micro, *y.shape[1:])
+        rngs = (
+            jax.random.split(rng, grad_acc_steps) if rng is not None
+            else jnp.zeros((grad_acc_steps,))
+        )
+
+        def body(carry, inp):
+            loss_acc, grads_acc = carry
+            xi, yi, ri = inp
+            loss, grads = grad_fn(params, xi, yi, ri if rng is not None else None)
+            grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
+            return (loss_acc + loss, grads_acc), None
+
+        zero = jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32), params)
+        (loss_sum, grads_sum), _ = jax.lax.scan(
+            body, (jnp.zeros(()), zero), (xs, ys, rngs)
+        )
+        scale = 1.0 / grad_acc_steps
+        return loss_sum * scale, jax.tree.map(lambda g: g * scale, grads_sum)
+
+    def train_step(state: TrainState, batch, rng=None):
+        x, y = batch
+        loss, grads = compute_grads(state.params, x, y, rng)
+        grad_norm = global_grad_norm(grads, trainable)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        step = state.step + 1
+        metrics = {"loss": loss, "grad_norm": grad_norm}
+        if schedule is not None:
+            metrics["lr"] = base_lr * schedule(state.step)
+        new_state = TrainState(params=params, opt_state=opt_state, step=step,
+                               acc_step=state.acc_step * 0)
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(apply_fn: Callable, loss_fn: Callable = cross_entropy_loss):
+    """Jitted eval step ``(params, batch) -> (batch_acc, batch_loss)``.
+
+    Matches reference run_evaluation per-batch stats (eval.py:45-89: batch-mean
+    accuracy and loss; the caller averages over batches — mean of batch means).
+    """
+
+    @jax.jit
+    def eval_step(params, batch):
+        x, y = batch
+        logits = apply_fn(params, x, deterministic=True)
+        acc = jnp.mean((jnp.argmax(logits, axis=-1) == y).astype(jnp.float32))
+        return acc, loss_fn(logits, y)
+
+    return eval_step
