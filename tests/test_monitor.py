@@ -1,0 +1,170 @@
+"""Monitor layer tests: run-dir contract, checkpoint lifecycle, logger formats."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+@pytest.fixture()
+def saving_dir(tmp_path, monkeypatch):
+    import vitef_tpu.config as cfg
+    import vitef_tpu.monitor.orchestrator as orch
+
+    monkeypatch.setattr(cfg, "SAVING_DIR", tmp_path / "savings")
+    monkeypatch.setattr(orch, "RUN_DIR", tmp_path / "savings" / "runs")
+    return tmp_path / "savings"
+
+
+def _params():
+    return {
+        "w": jnp.arange(6, dtype=jnp.float32).reshape(2, 3),
+        "blocks": [{"a": jnp.ones((2,))}, {"a": jnp.zeros((2,))}],
+    }
+
+
+def test_orchestrator_run_dir_contract(saving_dir):
+    from vitef_tpu.monitor import build_orchestrator
+
+    cfg = {
+        "log_dir": "exp1",
+        "config_file": {"model": {"name": "vit"}, "lr": 0.1},
+        "checkpoint_period": 5,
+        "checkpoint_n_kept": 2,
+        "logging_period": 10,
+        "seed": 7,
+    }
+    orch = build_orchestrator(cfg)
+    run = saving_dir / "runs" / "exp1"
+    assert (run / "config.json").exists()
+    with open(run / "config.json") as f:
+        assert json.load(f)["lr"] == 0.1
+    assert orch["checkpointer"].period == 5
+    assert orch["checkpointer"].n_kept == 2
+    assert orch["checkpointer"].path == str(run / "checkpoints")
+    assert orch["logger"].metric_path == str(run / "metrics")
+    assert orch["utility"].seed == 7
+
+
+def test_checkpointer_lifecycle(saving_dir, tmp_path):
+    from vitef_tpu.monitor import Checkpointer, CheckpointerConfig, load_checkpoint_params
+
+    params = _params()
+    state = {"params": params, "step": 0}
+
+    def get_state():
+        return {
+            "model": state["params"],
+            "optim": {"mu": jax.tree.map(jnp.zeros_like, state["params"])},
+            "training": {"step": state["step"], "acc_step": 0},
+        }
+
+    loaded = {}
+
+    def set_state(model_flat, optim_flat, training):
+        loaded["model"] = model_flat
+        loaded["training"] = training
+
+    ckpt_dir = tmp_path / "ckpts"
+    cfg = CheckpointerConfig(period=2, n_kept=2, path=str(ckpt_dir))
+    ck = Checkpointer(cfg, get_state, set_state, model_config={"emb_dim": 4})
+    with ck:
+        for i in range(1, 8):
+            state["step"] = i
+            state["params"] = jax.tree.map(lambda p: p + 1.0, state["params"])
+            ck()  # periodic: saves at 2, 4, 6
+        ck.update(eval_flag="best")  # step 7 with eval flag
+    names = sorted(p.name for p in ckpt_dir.iterdir() if p.is_dir())
+    # keep-2 GC: 6 and 7 survive; eval flag on 7
+    assert names == ["0000000006", "0000000007"]
+    assert (ckpt_dir / "0000000007" / "eval_best").exists()
+    assert (ckpt_dir / "0000000007" / "params.json").exists()
+    with open(ckpt_dir / "0000000007" / "params.json") as f:
+        assert json.load(f)["emb_dim"] == 4
+
+    # reload only the model entry
+    restored = load_checkpoint_params(ckpt_dir / "0000000007", _params())
+    assert np.allclose(np.asarray(restored["w"]),
+                       np.asarray(_params()["w"]) + 7.0)
+
+    # auto-resume on re-enter
+    ck2 = Checkpointer(cfg, get_state, set_state)
+    with ck2:
+        assert loaded["training"]["step"] == 7
+        assert ck2.step == 7
+        ck2.sync_step(7)
+    # sync_step prevented a duplicate save on exit
+    assert sorted(p.name for p in ckpt_dir.iterdir() if p.is_dir()) == names
+
+
+def test_checkpointer_eval_flag_protects_gc(saving_dir, tmp_path):
+    from vitef_tpu.monitor import Checkpointer, CheckpointerConfig
+
+    state = {"v": jnp.ones((2,))}
+    cfg = CheckpointerConfig(period=1, n_kept=1, path=str(tmp_path / "c"))
+    ck = Checkpointer(cfg, lambda: {"model": state, "optim": None, "training": {}})
+    with ck:
+        ck()  # step 1
+        ck.update(eval_flag="best")  # flag step 1
+        for _ in range(3):
+            ck()  # steps 2..4
+    names = sorted(p.name for p in (tmp_path / "c").iterdir() if p.is_dir())
+    assert "0000000001" in names  # protected
+    assert names[-1] == "0000000004"
+
+
+def test_logger_formats(saving_dir, tmp_path):
+    from vitef_tpu.monitor import Logger, LoggerConfig
+
+    cfg = LoggerConfig(period=1, stdout_path=str(tmp_path / "logs"),
+                       metric_path=str(tmp_path / "metrics"))
+    with Logger(cfg) as log:
+        log({"loss": 1.5, "step": 1})
+        log({"loss": 1.2, "step": 2})
+        log.report_model_size(_params(), trainable={"w": True,
+                                                    "blocks": [{"a": False}, {"a": True}]})
+    lines = (tmp_path / "metrics" / "raw_0.jsonl").read_text().strip().split("\n")
+    recs = [json.loads(l) for l in lines]
+    assert recs[0]["loss"] == 1.5 and "ts" in recs[0]
+    assert (tmp_path / "logs" / "device_0.log").exists()
+    info = json.loads((tmp_path / "metrics" / "info_model.jsonl").read_text())
+    assert info["model_params"] == 6 + 2  # w + second block only
+
+    # eval mode truncates eval.jsonl
+    with Logger(LoggerConfig(period=1, stdout_path=str(tmp_path / "logs"),
+                             metric_path=str(tmp_path / "metrics")), eval=True) as log:
+        log({"test_acc": 0.9})
+    evals = (tmp_path / "metrics" / "eval.jsonl").read_text().strip().split("\n")
+    assert len(evals) == 1
+
+
+def test_eval_orchestrator(saving_dir):
+    from vitef_tpu.monitor import build_eval_orchestrator, build_orchestrator
+
+    build_orchestrator({
+        "log_dir": "exp2", "config_file": {"x": 1},
+        "checkpoint_period": 1, "logging_period": 1,
+    })
+    run_ckpts = saving_dir / "runs" / "exp2" / "checkpoints"
+    for step in (3, 10):
+        (run_ckpts / f"{step:010d}").mkdir(parents=True)
+    orch = build_eval_orchestrator({"log_dir": "exp2"})
+    assert orch["exp_config"]["x"] == 1
+    assert orch["checkpoint_dir"].name == "0000000010"
+    orch = build_eval_orchestrator({"log_dir": "exp2", "checkpoint_step": "0000000003"})
+    assert orch["checkpoint_dir"].name == "0000000003"
+
+
+def test_utility_gc_control():
+    import gc
+
+    from vitef_tpu.monitor import Utility, UtilityConfig
+
+    with Utility(UtilityConfig(seed=1, period=2)) as u:
+        assert not gc.isenabled()
+        u()
+        u()
+    assert gc.isenabled()

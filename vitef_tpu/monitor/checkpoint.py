@@ -1,0 +1,281 @@
+"""Checkpoint manager — async saves with the reference's on-disk contract.
+
+Reference: src/vitef/monitor/checkpoint.py (CheckpointerConfig :43, Checkpointer
+:75-265). Semantics replicated exactly (SURVEY §5.4):
+
+  - step-named dirs ``{:010d}`` under ``<run>/checkpoints/`` (:98),
+  - ``params.json`` model-config sidecar written by the master process (:226-230),
+  - optional ``eval_<flag>`` marker files protecting a checkpoint from GC
+    (:171-172, :254),
+  - async save with an explicit future join before the next save and on exit
+    (:218-224, :146-148),
+  - keep-last-``n_kept`` GC skipping eval-flagged dirs (:247-256),
+  - context-manager auto-resume from the last checkpoint (:132-137),
+  - ``sync_step`` best-model rewind so the exit-time save is a no-op when the
+    best checkpoint is already on disk (:128, train.py:343).
+
+TPU-native design: the reference's torch-DCP async save first *stages* device
+tensors to host, then writes in a background thread. Here the stage is a
+synchronous ``jax.device_get`` (REQUIRED before returning to the train loop:
+the jitted step donates its input buffers, so device arrays must be copied out
+before the next step runs), and the write is a flat ``.npz`` of dotted-path
+keys handled by a single-worker executor — saves are serialized, the step dir
+appears atomically (tmp dir + rename). State entries mirror DCP's:
+``model`` (params pytree), ``optim`` (optax state leaves), ``training``
+(step counters). Eval/probing reload only the ``model`` entry via
+:func:`load_checkpoint_params` (reference eval.py:189-191).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import re
+import shutil
+import tempfile
+from concurrent.futures import Future, ThreadPoolExecutor
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Any
+
+import jax
+import numpy as np
+
+from ..parallel.mesh import get_rank, is_master_process
+from ..utils.tree import json_serializable
+
+logger = logging.getLogger("vitef")
+
+
+@dataclass
+class CheckpointerConfig:
+    """Reference checkpoint.py:43-72."""
+
+    period: int = 0
+    n_kept: int = 0
+    path: str = ""
+
+    def __post_init__(self):
+        if self.period > 0:
+            assert self.path, "Path was not set."
+
+
+# ------------------------------------------------------------------------------
+# Pytree <-> flat ndarray dict
+# ------------------------------------------------------------------------------
+
+
+def _flatten_with_paths(tree) -> dict[str, np.ndarray]:
+    out = {}
+    for path, leaf in jax.tree_util.tree_leaves_with_path(tree):
+        parts = []
+        for p in path:
+            if isinstance(p, jax.tree_util.DictKey):
+                parts.append(str(p.key))
+            elif isinstance(p, jax.tree_util.SequenceKey):
+                parts.append(str(p.idx))
+            elif isinstance(p, jax.tree_util.GetAttrKey):
+                parts.append(str(p.name))
+            else:
+                parts.append(str(p))
+        out[".".join(parts)] = np.asarray(leaf)
+    return out
+
+
+def _unflatten_like(tree, flat: dict[str, np.ndarray]):
+    """Fill ``tree``'s leaves from the dotted-path dict (structure from tree)."""
+    paths_leaves = jax.tree_util.tree_leaves_with_path(tree)
+    treedef = jax.tree_util.tree_structure(tree)
+    new_leaves = []
+    for path, leaf in paths_leaves:
+        parts = []
+        for p in path:
+            if isinstance(p, jax.tree_util.DictKey):
+                parts.append(str(p.key))
+            elif isinstance(p, jax.tree_util.SequenceKey):
+                parts.append(str(p.idx))
+            elif isinstance(p, jax.tree_util.GetAttrKey):
+                parts.append(str(p.name))
+            else:
+                parts.append(str(p))
+        key = ".".join(parts)
+        if key not in flat:
+            raise KeyError(f"checkpoint missing entry {key!r}")
+        val = flat[key]
+        new_leaves.append(np.asarray(val).reshape(np.shape(leaf)))
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+
+def _write_state(path: Path, state: dict[str, Any]) -> None:
+    """Write staged (host) state into ``path`` atomically (tmp dir + rename)."""
+    tmp = Path(tempfile.mkdtemp(prefix=f".tmp_{path.name}_", dir=path.parent))
+    try:
+        np.savez(tmp / "model.npz", **state["model"])
+        if state.get("optim") is not None:
+            np.savez(tmp / "optim.npz", **state["optim"])
+        with open(tmp / "training.json", "w") as f:
+            json.dump(state.get("training", {}), f)
+        if path.exists():  # re-save at same step (e.g. eval flag added later)
+            shutil.rmtree(path)
+        tmp.rename(path)
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+
+
+def load_checkpoint_params(path, params_like):
+    """Load only the ``model`` entry of a checkpoint dir into the structure of
+    ``params_like`` (reference eval.py:189-191, linear_probing.py:265-267)."""
+    with np.load(Path(path) / "model.npz") as z:
+        flat = {k: z[k] for k in z.files}
+    return _unflatten_like(params_like, flat)
+
+
+class Checkpointer:
+    """Reference Checkpointer lifecycle (checkpoint.py:75-265) over jax pytrees.
+
+    ``get_state``/``set_state`` callables bridge to the caller's TrainState:
+    ``get_state() -> {'model': pytree, 'optim': pytree|None, 'training': dict}``,
+    ``set_state(model, optim_flat, training)`` applies a loaded checkpoint.
+    """
+
+    folder_name = "{:010d}"
+    re_folder = r"\d{10}"
+    re_digits = re.compile(r"\d+")
+
+    def __init__(self, config: CheckpointerConfig, get_state, set_state=None,
+                 model_config: dict | None = None):
+        self.period = config.period
+        self.n_kept = config.n_kept
+        self.path = Path(config.path)
+        self.path.mkdir(parents=True, exist_ok=True)
+
+        self.get_state = get_state
+        self.set_state = set_state
+        self.model_config = model_config
+
+        self.device_rank = get_rank()
+        self.saved_step = 0
+        self.step = 0
+        self.process: Future | None = None
+        self._executor = ThreadPoolExecutor(max_workers=1)
+
+    def sync_step(self, step: int) -> None:
+        """Synchronize the step with the given value (checkpoint.py:128)."""
+        self.saved_step = self.step = step
+
+    def __enter__(self) -> "Checkpointer":
+        path = self.get_last_checkpoint_path(self.path)
+        if path:
+            self.load(path)
+        return self
+
+    def __exit__(self, exc, value, tb):
+        if self.saved_step != self.step:
+            self.update()
+        if self.process is not None:
+            logger.info("Waiting for final checkpoint to complete.")
+            self.process.result()
+        self._executor.shutdown(wait=True)
+
+    def __call__(self) -> None:
+        """Periodic tick (checkpoint.py:150-156)."""
+        self.step += 1
+        if self.period <= 0:
+            return
+        if self.step % self.period == 0:
+            self.update()
+
+    def update(self, eval_flag: str = "") -> None:
+        """Save at the current step (checkpoint.py:158-181)."""
+        path = self.path / self.folder_name.format(self.step)
+
+        if self.saved_step == self.step:
+            # Do not checkpoint twice; but still add the eval flag if asked
+            if eval_flag:
+                self._wait()
+                if path.exists():
+                    (path / f"eval_{eval_flag}").touch()
+            return
+
+        self.save(path, eval_flag)
+        self._cleaning()
+        self.saved_step = self.step
+
+    def load(self, path) -> None:
+        """Load a checkpoint (checkpoint.py:183-206)."""
+        logger.info(f"Loading checkpoint from {str(path)}.")
+        path = Path(path)
+        with np.load(path / "model.npz") as z:
+            model_flat = {k: z[k] for k in z.files}
+        optim_flat = None
+        if (path / "optim.npz").exists():
+            with np.load(path / "optim.npz") as z:
+                optim_flat = {k: z[k] for k in z.files}
+        with open(path / "training.json") as f:
+            training = json.load(f)
+        if self.set_state is None:
+            raise RuntimeError("Checkpointer has no set_state; cannot resume.")
+        self.set_state(model_flat, optim_flat, training)
+        self.sync_step(int(training.get("step", 0)))
+
+    def save(self, path, eval_flag: str = "") -> None:
+        """Async save (checkpoint.py:208-230): join previous, stage to host
+        synchronously, write in the background."""
+        self._wait()
+        logger.info(f"Saving checkpoint at step {self.step} to {str(path)}.")
+        state = self.get_state()
+        # Synchronous host staging: the jitted step donates buffers, so device
+        # arrays must be copied out before the train loop continues.
+        staged = {
+            "model": _flatten_with_paths(jax.device_get(state["model"])),
+            "optim": (
+                _flatten_with_paths(jax.device_get(state["optim"]))
+                if state.get("optim") is not None else None
+            ),
+            "training": state.get("training", {}),
+        }
+        model_config = self.model_config
+        master = is_master_process()
+
+        def write():
+            _write_state(Path(path), staged)
+            if eval_flag:
+                (Path(path) / f"eval_{eval_flag}").touch()
+            if model_config is not None and master:
+                with open(Path(path) / "params.json", "w") as f:
+                    json.dump(json_serializable(model_config), f)
+
+        self.process = self._executor.submit(write)
+
+    @classmethod
+    def get_last_checkpoint_path(cls, path) -> str:
+        folders = cls._list_checkpoints(Path(path))
+        if folders:
+            return max(folders, key=lambda p: cls._get_key_step(p.name))
+        return ""
+
+    def _wait(self) -> None:
+        if self.process is not None:
+            self.process.result()
+            self.process = None
+
+    def _cleaning(self) -> None:
+        """Keep-last-n GC skipping eval-flagged dirs (checkpoint.py:247-256)."""
+        if self.n_kept <= 0 or not is_master_process():
+            return
+        self._wait()
+        all_checkpoints = self._list_checkpoints(self.path)
+        all_checkpoints.sort(key=lambda p: self._get_key_step(p.name))
+        for prefix in all_checkpoints[: -self.n_kept]:
+            if not any(prefix.glob("eval_*")):
+                logger.info(f"Removing: {str(prefix)}")
+                shutil.rmtree(prefix)
+
+    @classmethod
+    def _list_checkpoints(cls, path: Path) -> list[Path]:
+        return [p for p in path.iterdir() if p.is_dir() and re.match(cls.re_folder, p.name)]
+
+    @classmethod
+    def _get_key_step(cls, name: str) -> int:
+        return int(re.findall(cls.re_digits, name)[-1])
