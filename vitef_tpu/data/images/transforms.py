@@ -1,0 +1,184 @@
+"""Image transforms: host PIL-parity eval path + on-device jitted train augment.
+
+Reference: src/vitef/data/images/utils.py:315-369 (build_transform): train =
+RandomResizedCrop(size) + RandomHorizontalFlip + ToTensor + ImageNet-Normalize;
+val/test = Resize(size) + CenterCrop(size) + ToTensor + Normalize.
+
+TPU-first split (SURVEY §7.3 hard part 2):
+  - **Eval path (val/test)** must be bit-comparable to torchvision's PIL
+    pipeline because the plasticity statistic depends on it: host PIL bilinear
+    ``Resize`` (shorter side) + ``CenterCrop``; the division/normalization runs
+    on device (pure elementwise, exact).
+  - **Train path** is distribution-matched, not sample-matched (torch RNG
+    streams cannot be reproduced in jax): crop boxes and flip flags are sampled
+    on host with the *exact* torchvision ``RandomResizedCrop.get_params``
+    algorithm (10 area/ratio attempts then center fallback), and the crop →
+    (size, size) bilinear resize + flip + normalize execute **on device** in one
+    jitted function via per-sample ``jax.image.scale_and_translate`` — the
+    uint8 batch goes over PCIe once and the augment runs on the TPU's VPU fused
+    with the normalize.
+
+IMAGENET_MEAN/STD: data/images/utils.py:337.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+# ------------------------------------------------------------------------------
+# Host path: PIL-parity Resize + CenterCrop (torchvision semantics)
+# ------------------------------------------------------------------------------
+
+
+def resize_shorter_pil(img, size: int):
+    """torchvision Resize(int): shorter side → size, aspect preserved, PIL bilinear."""
+    from PIL import Image
+
+    w, h = img.size
+    if w <= h:
+        ow, oh = size, max(1, int(round(size * h / w)))
+    else:
+        oh, ow = size, max(1, int(round(size * w / h)))
+    if (ow, oh) == (w, h):
+        return img
+    return img.resize((ow, oh), Image.BILINEAR)
+
+
+def center_crop_pil(img, size: int):
+    """torchvision CenterCrop semantics incl. zero-padding when smaller."""
+    from PIL import Image
+
+    w, h = img.size
+    if w < size or h < size:
+        padded = Image.new(img.mode, (max(w, size), max(h, size)))
+        padded.paste(img, ((max(w, size) - w) // 2, (max(h, size) - h) // 2))
+        img = padded
+        w, h = img.size
+    left = int(round((w - size) / 2.0))
+    top = int(round((h - size) / 2.0))
+    return img.crop((left, top, left + size, top + size))
+
+
+def eval_transform_host(img, size: int) -> np.ndarray:
+    """Resize + CenterCrop on host → (size, size, 3) uint8 (normalize on device)."""
+    img = resize_shorter_pil(img, size)
+    img = center_crop_pil(img, size)
+    arr = np.asarray(img, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = np.stack([arr] * 3, axis=-1)
+    return arr
+
+
+# ------------------------------------------------------------------------------
+# Host-side sampling of RandomResizedCrop parameters (exact torchvision algo)
+# ------------------------------------------------------------------------------
+
+
+def sample_resized_crop_params(
+    rng: np.random.Generator,
+    height: int,
+    width: int,
+    scale: tuple = (0.08, 1.0),
+    ratio: tuple = (3.0 / 4.0, 4.0 / 3.0),
+) -> tuple[int, int, int, int]:
+    """(top, left, h, w) with torchvision RandomResizedCrop.get_params semantics."""
+    area = height * width
+    log_ratio = (math.log(ratio[0]), math.log(ratio[1]))
+    for _ in range(10):
+        target_area = area * rng.uniform(scale[0], scale[1])
+        aspect = math.exp(rng.uniform(log_ratio[0], log_ratio[1]))
+        w = int(round(math.sqrt(target_area * aspect)))
+        h = int(round(math.sqrt(target_area / aspect)))
+        if 0 < w <= width and 0 < h <= height:
+            top = int(rng.integers(0, height - h + 1))
+            left = int(rng.integers(0, width - w + 1))
+            return top, left, h, w
+    # Fallback: center crop clamped by ratio
+    in_ratio = width / height
+    if in_ratio < ratio[0]:
+        w = width
+        h = int(round(w / ratio[0]))
+    elif in_ratio > ratio[1]:
+        h = height
+        w = int(round(h * ratio[1]))
+    else:
+        w, h = width, height
+    top = (height - h) // 2
+    left = (width - w) // 2
+    return top, left, h, w
+
+
+def sample_crop_batch(rng: np.random.Generator, n: int, height: int, width: int,
+                      flip_p: float = 0.5) -> tuple[np.ndarray, np.ndarray]:
+    """Batch of (top, left, h, w) int32 boxes + bool flip flags."""
+    boxes = np.empty((n, 4), np.int32)
+    for i in range(n):
+        boxes[i] = sample_resized_crop_params(rng, height, width)
+    flips = rng.random(n) < flip_p
+    return boxes, flips
+
+
+# ------------------------------------------------------------------------------
+# Device path: jitted crop-resize + flip + normalize
+# ------------------------------------------------------------------------------
+
+
+def _crop_resize_one(img_f32, box, size: int):
+    """Bilinear-resize the (top, left, h, w) crop of (H, W, C) to (size, size, C).
+
+    ``scale_and_translate`` uses half-centered pixel coordinates (pixel i has
+    coordinate i + 0.5) and maps input coord c → c·s + t. The crop resize needs
+    input (o+0.5)/s + top for output o, i.e. t = −top·s per dim.
+    ``antialias=True`` matches PIL's filter-scaling on downscale.
+    """
+    top, left, h, w = box[0], box[1], box[2], box[3]
+    sy = size / h.astype(jnp.float32)
+    sx = size / w.astype(jnp.float32)
+    scale = jnp.stack([sy, sx])
+    translation = jnp.stack([-top.astype(jnp.float32) * sy,
+                             -left.astype(jnp.float32) * sx])
+    return jax.image.scale_and_translate(
+        img_f32, (size, size, img_f32.shape[-1]), (0, 1), scale, translation,
+        method="linear", antialias=True,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("size", "compute_dtype"))
+def augment_train_device(batch_u8, boxes, flips, *, size: int,
+                         compute_dtype=jnp.float32):
+    """(N, H, W, C) uint8 + crop boxes + flip flags → (N, C, size, size) normalized.
+
+    One fused device program: crop-resize (VPU gather + bilinear), horizontal
+    flip, /255, ImageNet normalize, HWC→CHW.
+    """
+    imgs = batch_u8.astype(jnp.float32)
+    out = jax.vmap(lambda im, b: _crop_resize_one(im, b, size))(imgs, boxes)
+    out = jnp.where(flips[:, None, None, None], out[:, :, ::-1, :], out)
+    out = out / 255.0
+    out = (out - IMAGENET_MEAN) / IMAGENET_STD
+    return jnp.transpose(out, (0, 3, 1, 2)).astype(compute_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("compute_dtype",))
+def normalize_device(batch_u8, *, compute_dtype=jnp.float32):
+    """(N, S, S, C) uint8 → (N, C, S, S) ToTensor+Normalize on device
+    (host already did Resize+CenterCrop for PIL parity)."""
+    out = batch_u8.astype(jnp.float32) / 255.0
+    out = (out - IMAGENET_MEAN) / IMAGENET_STD
+    return jnp.transpose(out, (0, 3, 1, 2)).astype(compute_dtype)
+
+
+def normalize_host(batch_u8: np.ndarray) -> np.ndarray:
+    """Host-numpy reference of :func:`normalize_device` (for tests/parity)."""
+    out = batch_u8.astype(np.float32) / 255.0
+    out = (out - IMAGENET_MEAN) / IMAGENET_STD
+    return np.transpose(out, (0, 3, 1, 2))
