@@ -1,0 +1,320 @@
+"""Finetune ViT on downstream datasets while freezing selected components.
+
+Reference: apps/vit/train.py (TrainingConfig :43-101, train :109-345, main
+:349-387). The run-dir layout, metric record fields (loss/step/lr/grad_norm/
+elapsed_steps/ts), best-model checkpoint policy (save only on new best val
+accuracy, rewind saved_step at exit so the best checkpoint survives,
+train.py:334-343) and the OmegaConf-style CLI contract are preserved.
+
+TPU redesign (SURVEY §7.0):
+  - forward + backward + clip + optimizer + schedule run as ONE jitted step on
+    a ``Mesh(('dp','tp'))``; gradient all-reduce is inserted by XLA from the
+    batch sharding (reference's dormant ComputingManager, distributed.py:140-283,
+    is live here);
+  - selective freezing = static optax mask (no retrace across the 7 freeze
+    configs);
+  - grad accumulation = lax.scan inside the step with identical loss scaling;
+  - metrics stay on device between logging periods (one ``.item()``-style sync
+    per logging_period, not per step);
+  - data augment executes on device (see vitef_tpu.data.images.loader).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from contextlib import ExitStack
+from dataclasses import asdict, dataclass, field
+
+import jax
+import jax.numpy as jnp
+
+from vitef_tpu.data.images import build_train_val_loader, make_iterable
+from vitef_tpu.models import build_model
+from vitef_tpu.monitor import Checkpointer, Logger, Utility, build_orchestrator
+from vitef_tpu.monitor.checkpoint import _unflatten_like
+from vitef_tpu.optim import build_optimizer, build_scheduler
+from vitef_tpu.parallel import (
+    TrainState,
+    build_mesh,
+    init_train_state,
+    make_train_step,
+    shard_batch,
+    shard_params,
+)
+from vitef_tpu.utils.cli import load_config_from_cli
+
+from .eval import run_evaluation
+from .utils import freeze_components
+
+logger = logging.getLogger("vitef")
+
+
+@dataclass
+class TrainingConfig:
+    """Reference TrainingConfig (train.py:43-101) + TPU execution knobs."""
+
+    # Model
+    model_name: str = "base"
+    patch_size: int = 16
+    image_dim: tuple = (3, 224, 224)
+    components: list[str] | None = None
+    pretrained: bool = True
+    in21k: bool = True
+
+    # Data
+    dataset_name: str = "cifar10"
+    train_size: float = 0.8
+    batch_size: int = 512
+    val_batch_size: int = 512
+    data_dir: str | None = None
+    num_workers: int = 8
+
+    # Training
+    n_steps: int = 10_000
+    grad_acc_steps: int = 1
+    grad_clip: float | None = None
+
+    # Evaluation
+    eval_period: int = 1000
+
+    # Optimizer
+    optimizer: str = "sgd"
+    lr: float = 1e-3
+    momentum: float = 0.9
+    weight_decay: float = 0.0
+
+    # Scheduler
+    scheduler: str = "constant"
+    warmup: int = 2000
+    min_factor: float = 0
+
+    # TPU execution (replaces the reference's ``device`` field)
+    dp: int = -1
+    tp: int = 1
+    fsdp: bool = False
+    compute_dtype: str = "float32"
+    attn_impl: str = "auto"
+    norm_impl: str = "auto"
+    remat: bool = False
+
+    # Orchestrator
+    log_dir: str = ""
+    overwrite: bool = False
+    logging_period: int = 10
+    logging_level: str = "INFO"
+    seed: int = 42
+    utility_period: int = 1000
+
+    def __post_init__(self):
+        if (self.eval_period <= 0) or (self.eval_period > self.n_steps):
+            self.eval_period = self.n_steps
+        if self.seed is None:
+            self.seed = 42
+        if isinstance(self.image_dim, list):
+            self.image_dim = tuple(self.image_dim)
+
+
+def train(config: TrainingConfig) -> None:
+    """Run training, checkpointing the best evaluated model (train.py:109-345)."""
+    with ExitStack() as context_stack:
+        # -- orchestrator / logger / utility -------------------------------
+        orchestrator = build_orchestrator({
+            "log_dir": config.log_dir,
+            "overwrite": config.overwrite,
+            "config_file": asdict(config),
+            "checkpoint_period": 0,
+            "checkpoint_n_kept": 1,
+            "logging_period": config.logging_period,
+            "logging_level": config.logging_level,
+            "seed": config.seed,
+            "utility_period": config.utility_period,
+        })
+        metric_logger = Logger(config=orchestrator["logger"], eval=False)
+        context_stack.enter_context(metric_logger)
+        utils = Utility(config=orchestrator["utility"])
+        context_stack.enter_context(utils)  # seeds numpy globally (split parity)
+
+        # -- mesh ----------------------------------------------------------
+        mesh = build_mesh(dp=config.dp, tp=config.tp)
+
+        # -- data ----------------------------------------------------------
+        logger.info("Building dataloaders.")
+        loader_config = {
+            "dataset_name": config.dataset_name,
+            "batch_size": config.batch_size,
+            "val_batch_size": config.val_batch_size,
+            "size": config.image_dim[-1],
+            "num_workers": config.num_workers,
+            "compute_dtype": config.compute_dtype,
+            "seed": config.seed,
+        }
+        if config.data_dir:
+            loader_config["save_dir"] = config.data_dir
+        train_loader, val_loader, n_classes = build_train_val_loader(
+            config=loader_config, train_size=config.train_size, return_n_classes=True
+        )
+        logger.info("Done building dataloaders.")
+
+        # -- model ---------------------------------------------------------
+        logger.info("Building model.")
+        model, model_config = build_model(
+            config={
+                "implementation": "vit",
+                "model_name": config.model_name,
+                "pretrained": config.pretrained,
+                "in21k": config.in21k,
+                "patch_size": config.patch_size,
+                "image_dim": config.image_dim,
+                "finetuning": True,
+                "n_classes": n_classes,
+                "compute_dtype": config.compute_dtype,
+                "attn_impl": config.attn_impl,
+                "norm_impl": config.norm_impl,
+                "remat": config.remat,
+            },
+            key=jax.random.key(config.seed),
+            return_config=True,
+        )
+        trainable = freeze_components(model.params, config.components)
+        params = shard_params(model.params, mesh, fsdp=config.fsdp)
+        logger.info("Done building model.")
+
+        # -- optimizer / scheduler / jitted step ---------------------------
+        logger.info("Building optimizer.")
+        schedule = build_scheduler(
+            {"scheduler": config.scheduler, "warmup": config.warmup,
+             "min_factor": config.min_factor},
+            n_steps=config.n_steps,
+        )
+        tx, _ = build_optimizer(
+            {"optimizer": config.optimizer, "lr": config.lr,
+             "momentum": config.momentum, "weight_decay": config.weight_decay},
+            schedule=schedule,
+            params=params,
+            components=config.components,
+            grad_clip=config.grad_clip,
+        )
+        step_fn = make_train_step(
+            model.apply, tx, grad_acc_steps=config.grad_acc_steps,
+            schedule=schedule, base_lr=config.lr, trainable=trainable,
+        )
+        state = init_train_state(params, tx)
+        state_box = {"state": state}
+        logger.info("Done building optimizer.")
+
+        # -- checkpointer (bridges TrainState <-> reference state dict) ----
+        def get_state():
+            s: TrainState = state_box["state"]
+            return {
+                "model": s.params,
+                "optim": s.opt_state,
+                "training": {"step": int(s.step), "acc_step": int(s.acc_step)},
+            }
+
+        def set_state(model_flat, optim_flat, training):
+            s: TrainState = state_box["state"]
+            params = _unflatten_like(jax.device_get(s.params), model_flat)
+            params = shard_params(params, mesh, fsdp=config.fsdp)
+            opt_state = s.opt_state
+            if optim_flat is not None:
+                opt_state = _unflatten_like(jax.device_get(s.opt_state), optim_flat)
+                opt_state = jax.device_put(opt_state)
+            state_box["state"] = TrainState(
+                params=params, opt_state=opt_state,
+                step=jnp.asarray(int(training["step"]), jnp.int32),
+                acc_step=jnp.asarray(int(training.get("acc_step", 0)), jnp.int32),
+            )
+
+        checkpoint = Checkpointer(
+            config=orchestrator["checkpointer"],
+            get_state=get_state, set_state=set_state,
+            model_config=model_config,
+        )
+        context_stack.enter_context(checkpoint)  # auto-resume
+
+        metric_logger.report_model_size(state_box["state"].params, trainable)
+        current_time = time.time()
+        current_step = int(state_box["state"].step)
+        checkpoint.sync_step(current_step)
+
+        logging_period = orchestrator["logger"].period
+        eval_period = config.eval_period
+        best_eval_accuracy = 0.0
+        best_eval_step = 0
+
+        iterator = iter(make_iterable(train_loader))
+        rng = jax.random.key(config.seed)
+
+        # Python-side step mirror: avoids a device sync on state.step per
+        # iteration (the jitted step keeps the device queue full).
+        py_step = current_step
+        last_metrics = None
+        while py_step < config.n_steps:
+            # -- batch (grad_acc_steps microbatches per optimizer step) ----
+            if config.grad_acc_steps > 1:
+                xs, ys = zip(*(next(iterator) for _ in range(config.grad_acc_steps)))
+                x_batch = jnp.concatenate(xs)
+                y_batch = jnp.concatenate(ys)
+            else:
+                x_batch, y_batch = next(iterator)
+            batch = shard_batch((x_batch, y_batch), mesh)
+
+            rng, step_rng = jax.random.split(rng)
+            state_box["state"], last_metrics = step_fn(
+                state_box["state"], batch, step_rng
+            )
+            py_step += 1
+            step = py_step
+
+            utils()
+            checkpoint()
+
+            # -- log metrics (device sync only at logging period) ----------
+            if (logging_period > 0) and (step % logging_period == 0):
+                logger.info(f"Metric logging at step {step}.")
+                elapsed_time = time.time() - current_time
+                elapsed_steps = step - current_step
+                current_time, current_step = time.time(), step
+                metric_logger({
+                    "loss": float(last_metrics["loss"]),
+                    "step": step,
+                    "lr": float(last_metrics["lr"]),
+                    "grad_norm": float(last_metrics["grad_norm"]),
+                    "elapsed_steps": elapsed_steps,
+                    "ts": elapsed_time,
+                })
+
+            # -- evaluation + best-model checkpoint ------------------------
+            if (eval_period > 0) and (step % eval_period == 0):
+                logger.info(f"Evaluation at step {step}.")
+                metrics = run_evaluation(
+                    model.apply, state_box["state"].params, val_loader
+                )
+                metrics |= {"step": step}
+                metric_logger(metrics)
+                if metrics["eval_acc"] > best_eval_accuracy:
+                    best_eval_accuracy = metrics["eval_acc"]
+                    best_eval_step = step
+                    logger.info(
+                        f"Saving the current best model (validation accuracy of "
+                        f"{best_eval_accuracy * 100:.2f}%)."
+                    )
+                    checkpoint.update()
+
+        # Ensure the surviving checkpoint is the best evaluated model
+        # (reference train.py:343 + checkpoint.py:142-148)
+        checkpoint.sync_step(best_eval_step)
+
+    logger.info("Training done.")
+
+
+def main() -> None:
+    """``python -m apps.vit.train config=<yaml> [k=v ...]`` — defaults ← yaml ←
+    dotted CLI overrides (reference train.py:349-387)."""
+    config = load_config_from_cli(TrainingConfig)
+    train(config)
+
+
+if __name__ == "__main__":
+    main()

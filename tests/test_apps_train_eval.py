@@ -1,0 +1,128 @@
+"""End-to-end smoke: train a tiny ViT on synthetic CIFAR-10, then eval it.
+
+Exercises the full stack: config CLI merge → orchestrator run-dir → loaders
+(on-device augment) → jitted train step on the mesh → freeze masks → best-model
+checkpointing → eval reload (the reference's train.py/eval.py flow, SURVEY §7.2).
+"""
+
+import json
+import pickle
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture()
+def env(tmp_path, monkeypatch):
+    """Redirect SAVING_DIR/RUN_DIR and create a synthetic CIFAR-10."""
+    import vitef_tpu.config as cfg
+    import vitef_tpu.monitor.orchestrator as orch
+
+    monkeypatch.setattr(cfg, "SAVING_DIR", tmp_path / "savings")
+    monkeypatch.setattr(orch, "RUN_DIR", tmp_path / "savings" / "runs")
+
+    rng = np.random.default_rng(0)
+    base = tmp_path / "cifar10" / "cifar-10-batches-py"
+    base.mkdir(parents=True)
+    # class-separable synthetic data so a couple of steps show learning signal
+    for fname, n in [(f"data_batch_{i}", 60) for i in range(1, 6)] + [("test_batch", 60)]:
+        labels = rng.integers(0, 10, size=n)
+        data = rng.integers(0, 64, size=(n, 3072), dtype=np.uint8)
+        data[:, :1024] += (labels[:, None] * 19).astype(np.uint8)  # channel-0 cue
+        with open(base / fname, "wb") as f:
+            pickle.dump({b"data": data, b"labels": labels.tolist()}, f)
+    return tmp_path
+
+
+def _train_config(env, **overrides):
+    from apps.vit.train import TrainingConfig
+
+    args = dict(
+        model_name="tiny",
+        patch_size=16,
+        image_dim=(3, 32, 32),
+        components=["mha"],
+        pretrained=False,
+        in21k=False,
+        dataset_name="cifar10",
+        data_dir=str(env / "cifar10"),
+        batch_size=16,
+        val_batch_size=16,
+        num_workers=0,
+        n_steps=6,
+        grad_clip=1.0,
+        eval_period=3,
+        optimizer="sgd",
+        lr=0.01,
+        momentum=0.9,
+        scheduler="cosine",
+        warmup=1,
+        log_dir="smoke",
+        logging_period=2,
+        seed=42,
+        utility_period=100,
+        dp=8,
+        tp=1,
+    )
+    args.update(overrides)
+    return TrainingConfig(**args)
+
+
+def test_train_eval_end_to_end(env):
+    from apps.vit.eval import EvaluationConfig, eval as eval_app
+    from apps.vit.train import train
+
+    train(_train_config(env))
+
+    run = env / "savings" / "runs" / "smoke"
+    assert (run / "config.json").exists()
+    with open(run / "config.json") as f:
+        saved_cfg = json.load(f)
+    assert saved_cfg["dataset_name"] == "cifar10"
+
+    # metric stream contract: loss/step/lr/grad_norm/elapsed_steps/ts
+    lines = (run / "metrics" / "raw_0.jsonl").read_text().strip().split("\n")
+    recs = [json.loads(l) for l in lines]
+    train_recs = [r for r in recs if "loss" in r]
+    assert train_recs, "no train metrics logged"
+    for key in ("loss", "step", "lr", "grad_norm", "elapsed_steps", "ts"):
+        assert key in train_recs[0], f"missing {key}"
+    eval_recs = [r for r in recs if "eval_acc" in r]
+    assert len(eval_recs) == 2  # eval at steps 3 and 6
+
+    # best-model checkpoint with params.json
+    ckpts = sorted((run / "checkpoints").iterdir())
+    assert len(ckpts) >= 1
+    assert (ckpts[-1] / "params.json").exists()
+    with open(ckpts[-1] / "params.json") as f:
+        params_json = json.load(f)
+    assert params_json["model_name"] == "tiny"
+
+    # eval app reloads the checkpoint and writes eval.jsonl test_acc
+    metrics = eval_app(EvaluationConfig(
+        log_dir="smoke", batch_size=16, data_dir=str(env / "cifar10"),
+        num_workers=0,
+    ))
+    assert 0.0 <= metrics["eval_acc"] <= 1.0
+    eval_line = json.loads((run / "metrics" / "eval.jsonl").read_text().strip())
+    assert "test_acc" in eval_line
+
+
+def test_train_resume(env):
+    """Auto-resume: a second train() run continues from the saved best step."""
+    from apps.vit.train import train
+
+    cfg = _train_config(env, log_dir="resume", n_steps=3, eval_period=3)
+    train(cfg)
+    run = env / "savings" / "runs" / "resume"
+    ckpts = sorted(p.name for p in (run / "checkpoints").iterdir())
+    assert ckpts == ["0000000003"]
+
+    # second run with more steps resumes from step 3 (no overwrite)
+    cfg2 = _train_config(env, log_dir="resume", n_steps=5, eval_period=5,
+                         overwrite=False)
+    train(cfg2)
+    with open(run / "checkpoints" / sorted(
+            p.name for p in (run / "checkpoints").iterdir())[-1] / "training.json") as f:
+        training = json.load(f)
+    assert training["step"] == 5

@@ -26,6 +26,9 @@ from .torch_import import from_vitef_state_dict, hf_vit_to_vitef
 logger = logging.getLogger(__name__)
 
 VIT_SIZES = {
+    # 'tiny' is not a reference size (vit.py:131-133 has base/large/huge); it
+    # exists for fast smoke tests and CPU-runnable examples.
+    "tiny": dict(emb_dim=32, n_heads=2, n_layers=2, ffn_dim=64),
     "base": dict(emb_dim=768, n_heads=12, n_layers=12, ffn_dim=3072),  # 86M params
     "large": dict(emb_dim=1024, n_heads=16, n_layers=24, ffn_dim=4096),  # 307M params
     "huge": dict(emb_dim=1280, n_heads=16, n_layers=32, ffn_dim=5120),  # 632M params
