@@ -23,6 +23,53 @@ REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
 
+def _ensure_stub(name: str) -> None:
+    """Stub an absent third-party module so reference code can be imported.
+
+    Dunder lookups raise AttributeError (inspect/torch machinery probes
+    __file__/__path__ on every sys.modules entry — returning objects there
+    breaks them); ordinary names return a placeholder class.
+    """
+    import types
+
+    if name in sys.modules:
+        return
+    stub = types.ModuleType(name)
+
+    def _getattr(attr, _name=name):
+        if attr.startswith("__"):
+            raise AttributeError(attr)
+        return type(attr, (), {})
+
+    stub.__getattr__ = _getattr
+    sys.modules[name] = stub
+    if "." in name:
+        parent, _, child = name.rpartition(".")
+        if parent in sys.modules:
+            setattr(sys.modules[parent], child, stub)
+
+
+def load_reference_module(relpath: str, modname: str):
+    """Load a module from /root/reference by file path under a unique name
+    (avoids colliding with our same-named apps/ packages), stubbing the
+    reference's absent deps (fire, torchvision, tqdm, tiktoken)."""
+    import importlib.util
+
+    for dep in ("fire", "tqdm", "tiktoken", "torchvision", "torchvision.datasets",
+                "torchvision.transforms", "torchvision.transforms.functional"):
+        _ensure_stub(dep)
+    ref_src = "/root/reference/src"
+    if ref_src not in sys.path:
+        sys.path.insert(0, ref_src)
+    spec = importlib.util.spec_from_file_location(
+        modname, f"/root/reference/{relpath}"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[modname] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
 @pytest.fixture(scope="session")
 def reference_vitef():
     """Import the read-only PyTorch reference as a golden oracle (never copied).

@@ -107,9 +107,10 @@ def test_freeze_mask_matches_reference(reference_vitef):
     """Our mask marks frozen exactly the params reference freeze_model freezes."""
     import torch
 
-    sys.path.insert(0, "/root/reference/src")
-    sys.path.insert(0, "/root/reference")
-    from apps.vit.utils import freeze_model
+    from conftest import load_reference_module
+
+    ref_utils = load_reference_module("apps/vit/utils.py", "ref_app_utils")
+    freeze_model = ref_utils.freeze_model
     from vitef.models.transformer.architecture import Transformer, TransformerConfig
 
     cfg = TransformerConfig(
