@@ -11,4 +11,5 @@ from .orchestrator import (  # noqa: F401
     build_eval_orchestrator,
     build_orchestrator,
 )
+from .profiler import StepTimer, trace  # noqa: F401
 from .utility import Utility, UtilityConfig  # noqa: F401
