@@ -25,9 +25,10 @@ WARMUP = 5
 STEPS = 20
 
 # bf16 peak TFLOPs per chip (best-effort detection; v5e = 197, v4 = 275)
-PEAK_TFLOPS = {"v5e": 197e12, "v5litepod": 197e12, "v4": 275e12, "v5p": 459e12,
-               "v6e": 918e12}
-VIT_B_TRAIN_FLOPS_PER_IMG = 3 * 17.6e9  # fwd 17.6 GFLOPs × (1 fwd + 2 bwd)
+PEAK_TFLOPS = {"v5e": 197e12, "v5litepod": 197e12, "v5lite": 197e12,
+               "v4": 275e12, "v5p": 459e12, "v6e": 918e12}
+# ViT-B/16 @224 ≈ 17.6 GMACs = 35.2 GFLOPs forward; training ≈ 3× forward.
+VIT_B_TRAIN_FLOPS_PER_IMG = 3 * 35.2e9
 
 
 def detect_peak() -> float:

@@ -205,6 +205,16 @@ class Loader:
             return ("device_normalize_flip", x, y, None, flips)
         # val/test: PIL-parity Resize + CenterCrop on host
         if ds.fixed_size:
+            # Fast path: the native (C++/OpenMP) batched transform is bit-exact
+            # with the PIL pipeline (vitef_tpu/native/imageops.cpp) and avoids
+            # the per-image Python loop.
+            from ... import native
+
+            if native.available():
+                x = native.eval_transform_batch(ds.data[idx], self.size)
+                y = np.asarray(ds.targets)[idx]
+                return ("device_normalize", x, y, None, None)
+
             def one(i):
                 from PIL import Image
 

@@ -40,14 +40,16 @@ IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
 def resize_shorter_pil(img, size: int):
-    """torchvision Resize(int): shorter side → size, aspect preserved, PIL bilinear."""
+    """torchvision Resize(int): shorter side → size, aspect preserved, PIL
+    bilinear. The long side is truncated (``int``), matching torchvision's
+    ``_compute_resized_output_size``."""
     from PIL import Image
 
     w, h = img.size
     if w <= h:
-        ow, oh = size, max(1, int(round(size * h / w)))
+        ow, oh = size, max(1, int(size * h / w))
     else:
-        oh, ow = size, max(1, int(round(size * w / h)))
+        oh, ow = size, max(1, int(size * w / h))
     if (ow, oh) == (w, h):
         return img
     return img.resize((ow, oh), Image.BILINEAR)
@@ -63,6 +65,7 @@ def center_crop_pil(img, size: int):
         padded.paste(img, ((max(w, size) - w) // 2, (max(h, size) - h) // 2))
         img = padded
         w, h = img.size
+    # torchvision center_crop: int(round(...)) — Python round = half-to-even
     left = int(round((w - size) / 2.0))
     top = int(round((h - size) / 2.0))
     return img.crop((left, top, left + size, top + size))

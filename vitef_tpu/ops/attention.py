@@ -78,29 +78,38 @@ def attention_reference(q, k, v, *, causal: bool = False, kv_len: int | None = N
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, sm_scale, causal, kv_len,
                   block_q, block_kv):
-    # q_ref: (block_q, d); k_ref/v_ref: (L_pad, d); o_ref: (block_q, d)
-    qi = pl.program_id(2)
-    q = q_ref[:].astype(jnp.float32) * sm_scale
-    lk_pad, d = k_ref.shape
+    """One program = ALL heads for one (batch, q-block).
+
+    Batching the heads into a single 3-D ``dot_general`` gives the MXU
+    (h, block_q, d)×(h, block_kv, d) work per program instead of a tiny
+    per-head tile — per-program arithmetic intensity is what decides whether
+    the kernel is launch-bound. Matmuls run in the input dtype (bf16 on the
+    production path) with fp32 accumulation via ``preferred_element_type``;
+    softmax statistics are fp32 (matching torch SDPA's bf16 semantics).
+    """
+    qi = pl.program_id(1)
+    q = q_ref[:]  # (h, block_q, d) input dtype
+    h, lk_pad, d = k_ref.shape
     num_kv = lk_pad // block_kv
 
-    m0 = jnp.full((block_q, 1), _NEG_INF, dtype=jnp.float32)
-    s0 = jnp.zeros((block_q, 1), dtype=jnp.float32)
-    a0 = jnp.zeros((block_q, d), dtype=jnp.float32)
+    m0 = jnp.full((h, block_q, 1), _NEG_INF, dtype=jnp.float32)
+    s0 = jnp.zeros((h, block_q, 1), dtype=jnp.float32)
+    a0 = jnp.zeros((h, block_q, d), dtype=jnp.float32)
 
-    q_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0)
+    q_pos = qi * block_q + jax.lax.broadcasted_iota(
+        jnp.int32, (h, block_q, block_kv), 1
+    )
 
     def body(j, carry):
         m, s, acc = carry
-        k = k_ref[pl.ds(j * block_kv, block_kv), :].astype(jnp.float32)
-        v = v_ref[pl.ds(j * block_kv, block_kv), :].astype(jnp.float32)
+        k = k_ref[:, pl.ds(j * block_kv, block_kv), :]
+        v = v_ref[:, pl.ds(j * block_kv, block_kv), :]
         scores = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
+            q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )  # (block_q, block_kv)
+        ) * sm_scale  # (h, block_q, block_kv) fp32
         kv_pos = j * block_kv + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_kv), 1
+            jnp.int32, (h, block_q, block_kv), 2
         )
         mask = kv_pos < kv_len
         if causal:
@@ -111,8 +120,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, sm_scale, causal, kv_len,
         alpha = jnp.exp(m - m_new)
         s_new = s * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc_new = acc * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
+            p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
         return m_new, s_new, acc_new
@@ -125,15 +133,15 @@ def _flash_forward(q, k, v, causal: bool, kv_len: int, block_q: int, block_kv: i
     n, h, lq_pad, d = q.shape
     lk_pad = k.shape[2]
     sm_scale = 1.0 / math.sqrt(d)
-    grid = (n, h, lq_pad // block_q)
+    grid = (n, lq_pad // block_q)
     kernel = functools.partial(
         _flash_kernel, sm_scale=sm_scale, causal=causal, kv_len=kv_len,
         block_q=block_q, block_kv=block_kv,
     )
-    # None dims are squeezed: refs arrive 2-D ((block_q, d) / (lk_pad, d)).
-    q_spec = pl.BlockSpec((None, None, block_q, d), lambda b, hh, i: (b, hh, i, 0),
+    # Leading None dim squeezes batch: refs arrive 3-D (h, block, d).
+    q_spec = pl.BlockSpec((None, h, block_q, d), lambda b, i: (b, 0, i, 0),
                           memory_space=pltpu.VMEM)
-    kv_spec = pl.BlockSpec((None, None, lk_pad, d), lambda b, hh, i: (b, hh, 0, 0),
+    kv_spec = pl.BlockSpec((None, h, lk_pad, d), lambda b, i: (b, 0, 0, 0),
                            memory_space=pltpu.VMEM)
 
     return pl.pallas_call(
@@ -142,6 +150,12 @@ def _flash_forward(q, k, v, causal: bool, kv_len: int, block_q: int, block_kv: i
         in_specs=[q_spec, kv_spec, kv_spec],
         out_specs=q_spec,
         out_shape=jax.ShapeDtypeStruct((n, h, lq_pad, d), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * h * lq_pad * lk_pad * d,
+            bytes_accessed=3 * h * lk_pad * d * q.dtype.itemsize
+            + h * lq_pad * d * q.dtype.itemsize,
+            transcendentals=h * lq_pad * lk_pad,
+        ),
     )(q, k, v)
 
 
