@@ -186,7 +186,7 @@ _flash.defvjp(_flash_fwd, _flash_bwd)
 def flash_attention(q, k, v, *, causal: bool = False, impl: str = "auto",
                     block_q: int = 128, block_kv: int = 128):
     """Flash attention on (N, h, L, d). Pads L internally to block multiples."""
-    impl = resolve_impl(impl)
+    impl = resolve_impl(impl, seq_len=q.shape[2])
     if impl == "xla":
         return attention_reference(q, k, v, causal=causal)
     n, h, l, d = q.shape
