@@ -74,12 +74,15 @@ def get_embeddings(model, params, loader, cls_pooling: bool) -> tuple:
 
 
 def run_linear_probing(model, params, train_loader, test_loader,
-                       cls_pooling: bool, seed: int) -> dict[str, Any]:
-    """Per-key sklearn probe accuracies (reference :119-165)."""
-    from sklearn.linear_model import LogisticRegression
-    from sklearn.pipeline import make_pipeline
-    from sklearn.preprocessing import StandardScaler
+                       cls_pooling: bool, seed: int,
+                       probe_impl: str = "sklearn") -> dict[str, Any]:
+    """Per-key probe accuracies (reference :119-165).
 
+    ``probe_impl='sklearn'`` is the reference-exact host probe
+    (StandardScaler + LogisticRegression(max_iter=5000)); ``'jax'`` runs the
+    same objective on device via L-BFGS (vitef_tpu.probe) — much faster for
+    the 8×n_layers keys (SURVEY §7.3 #7).
+    """
     train_embeddings, train_labels = get_embeddings(
         model, params, train_loader, cls_pooling
     )
@@ -87,11 +90,25 @@ def run_linear_probing(model, params, train_loader, test_loader,
         model, params, test_loader, cls_pooling
     )
 
+    metrics = {}
+    if probe_impl == "jax":
+        from vitef_tpu.probe import probe_accuracy_jax
+
+        for key in train_embeddings:
+            metrics[key] = probe_accuracy_jax(
+                train_embeddings[key], train_labels.ravel(),
+                test_embeddings[key], test_labels.ravel(),
+            )
+        return metrics
+
+    from sklearn.linear_model import LogisticRegression
+    from sklearn.pipeline import make_pipeline
+    from sklearn.preprocessing import StandardScaler
+
     clf = make_pipeline(
         StandardScaler(),
         LogisticRegression(max_iter=5000, random_state=seed),
     )
-    metrics = {}
     for key in train_embeddings:
         clf.fit(train_embeddings[key], train_labels.ravel())
         metrics[key] = clf.score(test_embeddings[key], test_labels.ravel())
@@ -120,6 +137,7 @@ class LinearProbingConfig:
     # TPU knobs
     compute_dtype: str = "float32"
     num_workers: int = 8
+    probe_impl: str = "sklearn"  # sklearn (reference-exact) | jax (on-device L-BFGS)
 
     def __post_init__(self):
         if self.seed is None:
@@ -205,6 +223,7 @@ def linear_probing(config: LinearProbingConfig) -> dict[str, Any]:
         metrics = run_linear_probing(
             model, params, train_loader, test_loader,
             cls_pooling=config.cls_pooling, seed=config.seed,
+            probe_impl=config.probe_impl,
         )
         with open(save_dir / "linear_probing.json", "w") as f:
             json.dump(metrics, f, indent=4)
