@@ -289,15 +289,23 @@ def get_activation(name: str):
 
 
 def _linear(p: dict, x, compute_dtype):
+    """Linear layer in the compute dtype.
+
+    bf16 path: matmul emits bf16 directly (the MXU still accumulates fp32
+    internally) — emitting fp32 and casting would (a) double the intermediate's
+    HBM traffic and (b) push fp32 cotangents through every backward matmul,
+    which the v5e trace showed as the dominant convert+reduce cost. fp32 path
+    (parity/analysis): true-fp32 matmul via best_precision.
+    """
     w = p["weight"].astype(compute_dtype)
     xc = x.astype(compute_dtype)
     out = jnp.einsum(
         "...i,ij->...j", xc, w,
-        precision=best_precision(xc, w), preferred_element_type=jnp.float32,
+        precision=best_precision(xc, w), preferred_element_type=compute_dtype,
     )
     if "bias" in p:
-        out = out + p["bias"].astype(jnp.float32)
-    return out.astype(compute_dtype)
+        out = out + p["bias"].astype(compute_dtype)
+    return out
 
 
 def apply_embedding(params: dict, cfg: TransformerConfig, x, *,

@@ -213,30 +213,38 @@ def multi_head_attention(x, qkv_w, qkv_b, out_w, out_b, *, n_heads: int,
     Linear(E, 3E), head split E→(h, E/h) head-major, softmax attention, output
     Linear(E, E). ``verbose=True`` forces the reference path and also returns the
     (N, h, L, L) attention matrix (architecture.py:214-226, 237-238).
+
+    TPU path choices: matmuls emit the compute dtype (fp32 MXU accumulation is
+    implicit for bf16; fp32 inputs get best_precision — emitting bf16 measured
+    identical to f32+cast, but keeps cotangents bf16). The head split uses the
+    explicit (N, h, L, d) transpose: the transpose-free nlhd einsum layout was
+    A/B-measured ~19% SLOWER fwd+bwd on v5e (XLA fuses these transposes well).
     """
     n, l, e = x.shape
     d = e // n_heads
-    xc = x if compute_dtype is None else x.astype(compute_dtype)
-    w = qkv_w if compute_dtype is None else qkv_w.astype(compute_dtype)
+    cd = x.dtype if compute_dtype is None else jnp.dtype(compute_dtype)
+    xc = x.astype(cd)
+    w = qkv_w.astype(cd)
     qkv = jnp.einsum("nle,ef->nlf", xc, w, precision=best_precision(xc, w),
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=cd)
     if qkv_b is not None:
-        qkv = qkv + qkv_b.astype(jnp.float32)
-    qkv = qkv.astype(xc.dtype)
+        qkv = qkv + qkv_b.astype(cd)
     q, k, v = jnp.split(qkv, 3, axis=-1)
     # (N, L, E) -> (N, h, L, d)
     q, k, v = (t.reshape(n, l, n_heads, d).transpose(0, 2, 1, 3) for t in (q, k, v))
+
     weights = None
     if verbose:
-        z, weights = attention_reference(q, k, v, causal=causal, return_weights=True)
+        z, weights = attention_reference(q, k, v, causal=causal,
+                                         return_weights=True)
     else:
         z = flash_attention(q, k, v, causal=causal, impl=impl)
     z = z.transpose(0, 2, 1, 3).reshape(n, l, e)
-    ow = out_w if compute_dtype is None else out_w.astype(compute_dtype)
+    ow = out_w.astype(cd)
     out = jnp.einsum("nle,ef->nlf", z, ow, precision=best_precision(z, ow),
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=cd)
     if out_b is not None:
-        out = out + out_b.astype(jnp.float32)
+        out = out + out_b.astype(cd)
     out = out.astype(x.dtype)
     if verbose:
         return out, weights
