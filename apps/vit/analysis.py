@@ -43,12 +43,10 @@ def distance(x, y, reduction: str = "none"):
     x, y: (N, n, d) (a missing batch dim is added). Returns (N,) for
     reduction='none', scalar for 'mean'/'sum'.
     """
-    x = jnp.asarray(x)
-    y = jnp.asarray(y)
-    if x.ndim == 2:
-        x = x[None]
-    if y.ndim == 2:
-        y = y[None]
+    from vitef_tpu.utils.tree import get_valid_tensor
+
+    x = get_valid_tensor(x)
+    y = get_valid_tensor(y)
     d2 = jnp.square(x.astype(jnp.float32) - y.astype(jnp.float32))
     dist = jnp.sqrt(d2.reshape(d2.shape[0], -1).sum(axis=-1))
     match reduction.lower():

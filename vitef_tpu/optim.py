@@ -147,9 +147,12 @@ def build_scheduler(config: dict[str, Any], n_steps: int) -> Callable:
 # ------------------------------------------------------------------------------
 
 # Component -> parameter-path substrings, the same vocabulary as the reference
-# map_weight (apps/vit/utils.py:67-74).
+# map_weight (apps/vit/utils.py:67-74), plus 'pos_emb' which realizes the
+# reference's freeze_pos config capability (architecture.py:632-639) in the
+# same mask mechanism.
 FREEZE_MAP = {
     "emb": ["embedding"],
+    "pos_emb": ["embedding.pos_emb"],
     "attn_norm": ["attn_norm"],
     "mha": ["attn.qkv_mat", "attn.output"],
     "ffn_norm": ["ffn_norm"],
@@ -183,11 +186,15 @@ def trainable_mask(params, components: list[str]) -> Any:
             raise ValueError(f"Unknown component {comp!r}; choose {list(FREEZE_MAP)}")
         targets.extend(FREEZE_MAP[comp])
     freeze_embedding = "embedding" in targets
-    block_targets = [t for t in targets if t != "embedding"]
+    emb_targets = [t for t in targets if t.startswith("embedding.")]
+    block_targets = [t for t in targets if t != "embedding"
+                     and not t.startswith("embedding.")]
 
     def leaf_mask(path, _leaf):
         name = _path_str(path)
         if freeze_embedding and name.startswith("embedding."):
+            return False
+        if any(name.startswith(t) for t in emb_targets):
             return False
         if name.startswith("blocks.") and any(t in name for t in block_targets):
             return False

@@ -3,6 +3,7 @@ from .jsonl import get_jsonl_keys, load_jsonl_to_numpy, read_jsonl, write_jsonl 
 from .tree import (  # noqa: F401
     deterministic_split,
     get_numpy,
+    get_valid_tensor,
     json_serializable,
     update_dict,
 )

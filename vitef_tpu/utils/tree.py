@@ -13,9 +13,36 @@ from pathlib import Path
 import numpy as np
 
 
+def get_valid_tensor(x) -> np.ndarray:
+    """Array with a batch dimension added if 2-D (reference: utils.py:173-179).
+
+    The torch original converts to tensor + unsqueezes; arrays here stay
+    jax/numpy — used for the distance computation's batch-dim normalization.
+    """
+    import jax.numpy as jnp
+
+    x = jnp.asarray(x)
+    if x.ndim == 2:
+        x = x[None]
+    return x
+
+
 def get_numpy(x) -> np.ndarray:
     """Device array / scalar → host numpy (reference: utils.py:182-187)."""
-    return np.asarray(x)
+    out = np.asarray(x)
+    if not out.ndim:
+        out = np.expand_dims(out, axis=0)
+    return out
+
+
+def move_to_host(x):
+    """Device pytree → host numpy pytree (reference move_to_cpu, utils.py:190-193).
+
+    On TPU this is one ``jax.device_get`` round trip for the whole tree.
+    """
+    import jax
+
+    return jax.device_get(x)
 
 
 def json_serializable(d: dict) -> dict:
