@@ -237,3 +237,19 @@ def test_augment_train_device_shapes_flip():
         jnp.asarray(batch), jnp.asarray(boxes),
         jnp.asarray([False] * 4), size=32))
     assert np.allclose(out[1], noflip[1][:, :, ::-1], atol=1e-5)
+
+
+def test_synthetic_dataset():
+    """Offline verification dataset: fixed-size, class-separable, mode-seeded."""
+    train = build_dataset({"dataset_name": "synthetic", "mode": "train",
+                           "n_samples": 64, "image_size": 16, "n_classes": 5})
+    test = build_dataset({"dataset_name": "synthetic", "mode": "test",
+                          "n_samples": 32, "image_size": 16, "n_classes": 5})
+    assert len(train) == 64 and len(test) == 32
+    assert train.n_classes == 5
+    assert train.data.shape == (64, 16, 16, 3)
+    assert not np.array_equal(train.data[:32], test.data)  # different mode seed
+    loader = Loader(train, batch_size=16, size=16, mode="train", shuffle=True,
+                    drop_last=True, num_workers=0)
+    x, y = next(iter(loader))
+    assert x.shape == (16, 3, 16, 16)

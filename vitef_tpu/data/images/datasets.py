@@ -40,6 +40,25 @@ CORRUPTION_TYPES = [
 DOMAINS = ["clipart", "infograph", "painting", "quickdraw", "real", "sketch"]
 
 
+@dataclass
+class SyntheticDatasetConfig:
+    """Synthetic random-image dataset for offline/e2e verification (no
+    reference counterpart — this image has zero egress, so the torchvision
+    auto-downloads of the reference are impossible here)."""
+
+    mode: str = "train"
+    n_samples: int = 256
+    image_size: int = 32
+    n_classes: int = 10
+    seed: int = 0
+    save_dir: str | None = None  # accepted and ignored (loader contract)
+
+    def __post_init__(self):
+        assert self.mode in ["train", "val", "test"], (
+            f"Invalid mode {self.mode}."
+        )
+
+
 class ImageDataset:
     """Base: either in-memory ``data``/``targets`` or file-backed ``samples``."""
 
@@ -99,6 +118,21 @@ def _apply_deterministic_split(n: int, train: bool) -> np.ndarray:
     cifar10_c.py:173-182 et al.: ``indices = np.sort(indices)``)."""
     train_idx, test_idx = deterministic_split(n, 0.8)
     return np.sort(train_idx if train else test_idx)
+
+
+class SyntheticDataset(ImageDataset):
+    """Class-separable random uint8 images; labels encoded into channel 0."""
+
+    def __init__(self, config: SyntheticDatasetConfig):
+        mode_seed = {"train": 0, "val": 1, "test": 2}[config.mode]
+        rng = np.random.default_rng(config.seed + mode_seed)
+        s = config.image_size
+        self.targets = rng.integers(0, config.n_classes, size=config.n_samples)
+        data = rng.integers(0, 64, size=(config.n_samples, s, s, 3), dtype=np.uint8)
+        bump = (self.targets * (191 // max(config.n_classes - 1, 1))).astype(np.uint8)
+        data[..., 0] += bump[:, None, None]
+        self.data = data
+        self.n_classes = config.n_classes
 
 
 # ------------------------------------------------------------------------------

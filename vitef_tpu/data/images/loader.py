@@ -72,7 +72,9 @@ def build_dataset(config: dict[str, Any]) -> D.ImageDataset:
         config["corruption_type"] = ctype
         config["corruption_severity"] = int(severity)
 
-    if name == "cifar10":
+    if name == "synthetic":
+        cls, cfg_cls = D.SyntheticDataset, D.SyntheticDatasetConfig
+    elif name == "cifar10":
         cls, cfg_cls = D.Cifar10Dataset, D.Cifar10DatasetConfig
     elif "cifar10_c" in name:
         parse_corruption("cifar10_c")
