@@ -148,6 +148,9 @@ def train(config: TrainingConfig) -> None:
             "num_workers": config.num_workers,
             "compute_dtype": config.compute_dtype,
             "seed": config.seed,
+            # multi-host DP: each process loads a disjoint shard of each epoch
+            "shard_index": jax.process_index(),
+            "shard_count": jax.process_count(),
         }
         if config.data_dir:
             loader_config["save_dir"] = config.data_dir

@@ -253,3 +253,25 @@ def test_synthetic_dataset():
                     drop_last=True, num_workers=0)
     x, y = next(iter(loader))
     assert x.shape == (16, 3, 16, 16)
+
+
+def test_loader_sharding_disjoint_and_complete():
+    """Multi-host shards: disjoint, identically-shuffled, covering the epoch."""
+    from vitef_tpu.data.images.datasets import ImageDataset
+
+    class DS(ImageDataset):
+        def __init__(self):
+            self.data = np.zeros((40, 8, 8, 3), np.uint8)
+            self.targets = np.arange(40) % 4
+            self.n_classes = 4
+
+    ds = DS()
+    orders = []
+    for i in range(4):
+        loader = Loader(ds, batch_size=5, size=8, mode="test", shuffle=True,
+                        drop_last=True, num_workers=0, seed=7,
+                        shard_index=i, shard_count=4)
+        orders.append(loader._epoch_order())
+        assert len(loader) == 2  # 40/4 = 10 per shard, batch 5
+    all_idx = np.concatenate(orders)
+    assert len(all_idx) == 40 and len(set(all_idx.tolist())) == 40

@@ -190,12 +190,23 @@ class TestPostNormBatchNorm:
             dropout=0.0,
         )
         ref_model, _ = make_ref_model(reference_vitef, **kwargs)
-        ref_model.train()  # batch statistics (our batch norm uses batch stats)
+        ref_model.train()  # batch statistics
         params = to_jax(ref_model, 2)
         cfg = my_config(**kwargs)
         rng = np.random.default_rng(2)
         x = rng.normal(size=(4, 64)).astype(np.float32)
         with torch.no_grad():
             ref_out = ref_model(torch.from_numpy(x)).numpy()
-        out = apply_transformer(params, cfg, jnp.asarray(x))
+        # train mode (deterministic=False) = batch statistics
+        out = apply_transformer(params, cfg, jnp.asarray(x), deterministic=False)
         np.testing.assert_allclose(np.asarray(out), ref_out, atol=5e-5, rtol=1e-3)
+
+        # eval mode = running statistics (updated by the train-mode forward)
+        ref_model.eval()
+        params_eval = to_jax(ref_model, 2)
+        with torch.no_grad():
+            ref_eval = ref_model(torch.from_numpy(x)).numpy()
+        out_eval = apply_transformer(params_eval, cfg, jnp.asarray(x),
+                                     deterministic=True)
+        np.testing.assert_allclose(np.asarray(out_eval), ref_eval,
+                                   atol=5e-5, rtol=1e-3)

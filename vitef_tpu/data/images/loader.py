@@ -142,6 +142,8 @@ class Loader:
         prefetch: int = 2,
         compute_dtype: str = "float32",
         indices: np.ndarray | None = None,
+        shard_index: int = 0,
+        shard_count: int = 1,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -156,18 +158,26 @@ class Loader:
         self.indices = (
             np.asarray(indices) if indices is not None else np.arange(len(dataset))
         )
+        # Multi-host data parallelism: each process takes a disjoint stride of
+        # the (identically seeded, hence identically shuffled) epoch order —
+        # the host-side sharding the reference's dormant DP never added
+        # (SURVEY §5.8: no DistributedSampler).
+        self.shard_index = shard_index
+        self.shard_count = shard_count
         self._pool = None
         self.n_classes = dataset.n_classes
 
     # -- sizing ---------------------------------------------------------
     def __len__(self):
-        n = len(self.indices)
+        n = len(self.indices) // self.shard_count if self.shard_count > 1 \
+            else len(self.indices)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def _epoch_order(self) -> np.ndarray:
-        if self.shuffle:
-            return self.rng.permutation(self.indices)
-        return self.indices
+        order = self.rng.permutation(self.indices) if self.shuffle else self.indices
+        if self.shard_count > 1:
+            order = order[self.shard_index::self.shard_count]
+        return order
 
     # -- host batch assembly -------------------------------------------
     def _pool_or_none(self):
@@ -296,7 +306,8 @@ class Loader:
 # Builders (reference utils.py:75-204)
 # ------------------------------------------------------------------------------
 
-_LOADER_KEYS = ("num_workers", "seed", "prefetch", "compute_dtype")
+_LOADER_KEYS = ("num_workers", "seed", "prefetch", "compute_dtype",
+                "shard_index", "shard_count")
 
 
 def _pop_loader_kwargs(config: dict) -> dict:

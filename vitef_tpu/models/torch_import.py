@@ -65,16 +65,20 @@ def from_vitef_state_dict(sd: dict[str, np.ndarray], n_layers: int) -> dict:
 
     def take_norm(prefix: str) -> dict:
         # LayerNorm/RMSNorm: <prefix>.weight/.bias; BatchNorm wrapper:
-        # <prefix>.batchnorm.weight/.bias (+ running stats, which are batch-stat
-        # normalization state and not model parameters here — dropped).
+        # <prefix>.batchnorm.weight/.bias + running stats (kept — eval-mode
+        # batch norm reads them; norms.apply_norm deterministic path).
         if prefix + ".weight" in sd:
             p = {"weight": jnp.asarray(sd.pop(prefix + ".weight"))}
             b = take(prefix + ".bias")
         else:
             p = {"weight": jnp.asarray(sd.pop(prefix + ".batchnorm.weight"))}
             b = take(prefix + ".batchnorm.bias")
-            for stat in (".running_mean", ".running_var", ".num_batches_tracked"):
-                sd.pop(prefix + ".batchnorm" + stat, None)
+            for stat, name in ((".running_mean", "running_mean"),
+                               (".running_var", "running_var")):
+                v = sd.pop(prefix + ".batchnorm" + stat, None)
+                if v is not None:
+                    p[name] = jnp.asarray(v)
+            sd.pop(prefix + ".batchnorm.num_batches_tracked", None)
         if b is not None:
             p["bias"] = jnp.asarray(b)
         return p

@@ -212,12 +212,12 @@ def init_block(key, cfg: TransformerConfig) -> dict:
     keys = jax.random.split(key, 4)
     e, f = cfg.emb_dim, cfg.ffn_dim
     return {
-        "attn_norm": init_norm(e, cfg.norm_bias),
+        "attn_norm": init_norm(e, cfg.norm_bias, cfg.norm),
         "attn": {
             "qkv_mat": _init_linear(keys[0], e, 3 * e, cfg.attn_bias),
             "output": _init_linear(keys[1], e, e, cfg.attn_bias),
         },
-        "ffn_norm": init_norm(e, cfg.norm_bias),
+        "ffn_norm": init_norm(e, cfg.norm_bias, cfg.norm),
         "ffn": {
             "fc1": _init_linear(keys[2], e, f, cfg.ffn_bias),
             "fc2": _init_linear(keys[3], f, e, cfg.ffn_bias),
@@ -230,7 +230,7 @@ def init_output(key, cfg: TransformerConfig) -> dict:
     if ot == "classification":
         return {
             "output_layer": {
-                "norm": init_norm(cfg.emb_dim, cfg.norm_bias),
+                "norm": init_norm(cfg.emb_dim, cfg.norm_bias, cfg.norm),
                 "head": _init_linear(key, cfg.emb_dim, cfg.n_classes, bias=True),
             }
         }
@@ -243,7 +243,7 @@ def init_output(key, cfg: TransformerConfig) -> dict:
             }
         }
     if ot == "sequence_to_sequence":
-        p: dict[str, Any] = {"norm": init_norm(cfg.emb_dim, cfg.norm_bias)}
+        p: dict[str, Any] = {"norm": init_norm(cfg.emb_dim, cfg.norm_bias, cfg.norm)}
         if not cfg.weight_tying:
             p["head"] = _init_linear(key, cfg.emb_dim, cfg.vocab_size, bias=False)
         return {"output_layer": p}
@@ -383,8 +383,9 @@ def apply_ffn(params: dict, cfg: TransformerConfig, x, *,
     return out
 
 
-def _norm(params, cfg: TransformerConfig, x):
-    return apply_norm(params, x, kind=cfg.norm, eps=cfg.norm_eps, impl=cfg.norm_impl)
+def _norm(params, cfg: TransformerConfig, x, deterministic: bool = True):
+    return apply_norm(params, x, kind=cfg.norm, eps=cfg.norm_eps,
+                      impl=cfg.norm_impl, deterministic=deterministic)
 
 
 def apply_block(params: dict, cfg: TransformerConfig, x, *,
@@ -395,22 +396,25 @@ def apply_block(params: dict, cfg: TransformerConfig, x, *,
         r1, r2 = jax.random.split(rng)
     att = None
     if cfg.pre_norm:
-        out = apply_attention(params["attn"], cfg, _norm(params["attn_norm"], cfg, x),
+        out = apply_attention(params["attn"], cfg,
+                              _norm(params["attn_norm"], cfg, x, deterministic),
                               deterministic=deterministic, rng=r1, verbose=verbose)
         if verbose:
             out, att = out
         out = x + out
-        out = out + apply_ffn(params["ffn"], cfg, _norm(params["ffn_norm"], cfg, out),
+        out = out + apply_ffn(params["ffn"], cfg,
+                              _norm(params["ffn_norm"], cfg, out, deterministic),
                               deterministic=deterministic, rng=r2)
     else:
         out = apply_attention(params["attn"], cfg, x,
                               deterministic=deterministic, rng=r1, verbose=verbose)
         if verbose:
             out, att = out
-        out = _norm(params["attn_norm"], cfg, x + out)
+        out = _norm(params["attn_norm"], cfg, x + out, deterministic)
         out = _norm(params["ffn_norm"], cfg,
                     out + apply_ffn(params["ffn"], cfg, out,
-                                    deterministic=deterministic, rng=r2))
+                                    deterministic=deterministic, rng=r2),
+                    deterministic)
     if verbose:
         return out, att
     return out

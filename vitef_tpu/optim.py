@@ -192,6 +192,8 @@ def trainable_mask(params, components: list[str]) -> Any:
 
     def leaf_mask(path, _leaf):
         name = _path_str(path)
+        if "running_" in name:  # batch-norm statistics are state, not params
+            return False
         if freeze_embedding and name.startswith("embedding."):
             return False
         if any(name.startswith(t) for t in emb_targets):
@@ -256,8 +258,10 @@ def build_optimizer(config: dict[str, Any], schedule: Callable | None = None,
             )
 
     parts = []
-    if components and params is not None:
-        mask = trainable_mask(params, components)
+    if params is not None:
+        # Always mask (even with no frozen components): batch-norm running
+        # statistics must never receive optimizer updates/weight decay.
+        mask = trainable_mask(params, components or [])
         inv_mask = jax.tree.map(lambda m: not m, mask)
         # Zero frozen grads first so the global-norm clip sees only trainable
         # grads (parity with clip_grad_norm_ over requires_grad params).
