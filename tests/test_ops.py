@@ -119,3 +119,37 @@ class TestAttention:
                    for _ in range(3))
         _, w = attention_reference(q, k, v, return_weights=True)
         np.testing.assert_allclose(np.asarray(w.sum(-1)), 1.0, atol=1e-6)
+
+
+class TestFlashBackwardKernel:
+    """Fused small-L backward (interpret mode) vs XLA autodiff."""
+
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_grads_match_reference(self, causal):
+        from vitef_tpu.ops.attention import attention_reference, flash_attention
+
+        rng = np.random.default_rng(7)
+        q = jnp.asarray(rng.normal(size=(2, 4, 37, 16)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(2, 4, 37, 16)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(2, 4, 37, 16)).astype(np.float32))
+
+        def f_ref(q, k, v):
+            return jnp.sum(jnp.sin(attention_reference(q, k, v, causal=causal)))
+
+        def f_pl(q, k, v):
+            return jnp.sum(jnp.sin(
+                flash_attention(q, k, v, causal=causal, impl="pallas")))
+
+        with pltpu.force_tpu_interpret_mode():
+            gp = jax.grad(f_pl, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(gp, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-5, rtol=1e-4)
+
+    def test_long_l_uses_remat_fallback(self):
+        """Above the VMEM budget the bwd path is the XLA remat (still correct)."""
+        from vitef_tpu.ops.attention import _BWD_VMEM_BUDGET
+
+        h, l = 12, 1024
+        assert 2 * h * l * l * 4 > _BWD_VMEM_BUDGET  # GPT2 scale → fallback

@@ -169,11 +169,89 @@ def _flash_fwd(q, k, v, causal, kv_len, block_q, block_kv):
     return out, (q, k, v)
 
 
+def _flash_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref, *,
+                      sm_scale, causal, kv_len):
+    """Fused backward for the small-L case (whole (h, L, L) fits in VMEM).
+
+    Recomputes the softmax from (q, k) — no O(L²) residual ever touches HBM —
+    then applies the standard flash backward algebra batched over heads:
+    dv = pᵀ·g, ds = p ⊙ (g·vᵀ − rowsum(p ⊙ g·vᵀ)) · scale, dq = ds·k,
+    dk = dsᵀ·q. Rows/cols beyond kv_len carry zero p, hence zero gradient
+    contribution (padded grads are sliced off by the caller anyway).
+    """
+    q = q_ref[:]  # (h, L, d)
+    k = k_ref[:]
+    v = v_ref[:]
+    g = g_ref[:]
+    h, l, d = q.shape
+
+    scores = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32,
+    ) * sm_scale  # (h, L, L) fp32
+    kv_pos = jax.lax.broadcasted_iota(jnp.int32, (h, l, l), 2)
+    mask = kv_pos < kv_len
+    if causal:
+        q_pos = jax.lax.broadcasted_iota(jnp.int32, (h, l, l), 1)
+        mask = jnp.logical_and(mask, kv_pos <= q_pos)
+    scores = jnp.where(mask, scores, _NEG_INF)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    p = e / jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
+    pb = p.astype(v.dtype)
+
+    # dv[h, k, d] = Σ_q p[h, q, k] · g[h, q, d]
+    dv = jax.lax.dot_general(
+        pb, g, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32,
+    )
+    # dp[h, q, k] = Σ_d g[h, q, d] · v[h, k, d]
+    dp = jax.lax.dot_general(
+        g, v, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32,
+    )
+    delta = jnp.sum(p * dp, axis=-1, keepdims=True)
+    ds = (p * (dp - delta) * sm_scale).astype(q.dtype)
+    # dq[h, q, d] = Σ_k ds[h, q, k] · k[h, k, d]
+    dq = jax.lax.dot_general(
+        ds, k, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32,
+    )
+    # dk[h, k, d] = Σ_q ds[h, q, k] · q[h, q, d]
+    dk = jax.lax.dot_general(
+        ds, q, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32,
+    )
+    dq_ref[:] = dq.astype(dq_ref.dtype)
+    dk_ref[:] = dk.astype(dk_ref.dtype)
+    dv_ref[:] = dv.astype(dv_ref.dtype)
+
+
+# VMEM budget for the fused backward's fp32 (h, L, L) tensors (bytes).
+_BWD_VMEM_BUDGET = 10 * 1024 * 1024
+
+
 def _flash_bwd(causal, kv_len, block_q, block_kv, residuals, g):
-    # Flash-style rematerialisation: recompute the attention in XLA and
-    # differentiate it. Residuals are O(N·h·L·d); L² lives only inside this
-    # backward computation where XLA fuses it.
     q, k, v = residuals
+    n, h, l_pad, d = q.shape
+    if 2 * h * l_pad * l_pad * 4 <= _BWD_VMEM_BUDGET:
+        spec = pl.BlockSpec((None, h, l_pad, d), lambda b: (b, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+        kernel = functools.partial(
+            _flash_bwd_kernel, sm_scale=1.0 / math.sqrt(d), causal=causal,
+            kv_len=kv_len,
+        )
+        shape = jax.ShapeDtypeStruct((n, h, l_pad, d), q.dtype)
+        return pl.pallas_call(
+            kernel,
+            grid=(n,),
+            in_specs=[spec, spec, spec, spec],
+            out_specs=(spec, spec, spec),
+            out_shape=(shape, shape, shape),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * 4 * h * l_pad * l_pad * d,
+                bytes_accessed=7 * h * l_pad * d * q.dtype.itemsize,
+                transcendentals=h * l_pad * l_pad,
+            ),
+        )(q, k, v, g)
+    # Long-L fallback: flash-style rematerialisation — recompute the attention
+    # in XLA and differentiate it (residuals are O(N·h·L·d); L² lives only
+    # inside this backward computation where XLA fuses it).
     def f(q, k, v):
         return attention_reference(q, k, v, causal=causal, kv_len=kv_len)
     _, vjp = jax.vjp(f, q, k, v)
