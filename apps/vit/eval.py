@@ -33,10 +33,28 @@ from .utils import EvalState
 logger = logging.getLogger("vitef")
 
 
+# jit cache keyed by the apply callable's identity: model.apply is a fresh
+# bound-method object on every attribute access, so without this every
+# run_evaluation call (one per eval_period) would build a new jax.jit wrapper
+# and recompile the full forward.
+_EVAL_STEP_CACHE: dict[Any, Any] = {}
+
+
+def _cached_eval_step(apply_fn):
+    key = (getattr(apply_fn, "__func__", apply_fn),
+           id(getattr(apply_fn, "__self__", None)))
+    if key not in _EVAL_STEP_CACHE:
+        _EVAL_STEP_CACHE[key] = (
+            getattr(apply_fn, "__self__", None),  # keep owner alive (id stability)
+            make_eval_step(apply_fn),
+        )
+    return _EVAL_STEP_CACHE[key][1]
+
+
 def run_evaluation(apply_fn, params, loader) -> dict[str, Any]:
     """Mean-of-batch-means accuracy and loss (reference eval.py:45-89)."""
     state = EvalState()
-    eval_step = make_eval_step(apply_fn)
+    eval_step = _cached_eval_step(apply_fn)
     for x_batch, y_batch in loader:
         acc, loss = eval_step(params, (x_batch, y_batch))
         state.accuracy += float(acc)

@@ -12,7 +12,7 @@ DATASETS=(
 ABLATION_SEEDS=(0)
 COMP_INDICES=(0 2 3 4 5 6)
 
-rescale_lr() { python -c "print(f'{float('$1')/100:.2e}')"; }
+rescale_lr() { awk "BEGIN{printf \"%.2e\", $1/100}"; }
 
 for dataset_name in "${DATASETS[@]}"; do
   ds_key="${dataset_name//-corruption-/_}"

@@ -20,8 +20,10 @@ for dataset_name in "${DATASETS[@]}"; do
   ds_key="${dataset_name//-corruption-/_}"
   ds_key="${ds_key//-severity-/_}"
   ds_key="${ds_key//-/_}"
-  # probe against any existing run dir for the config.json (comp_0 seed 0)
-  log_dir="vit_${ds_key}_seed_0_lr_1e-3_comp_0"
+  # probe against an existing run dir for the config.json (comp_0, seed 0,
+  # the dataset's FIRST sweep lr — domainnet's grid starts at 3e-3)
+  first_lr="$(lrs_for "${dataset_name}" | cut -d' ' -f1)"
+  log_dir="vit_${ds_key}_seed_0_lr_${first_lr}_comp_0"
   queue_cmd "${session}" \
     "python -m apps.vit.linear_probing config=apps/vit/configs/linear_probing.yaml" \
     "log_dir=${log_dir} dataset_name=${dataset_name} finetuned=false"

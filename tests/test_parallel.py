@@ -172,3 +172,23 @@ def test_freeze_inside_jitted_step():
     old_fc1 = params["blocks"][0]["ffn"]["fc1"]["weight"]
     new_fc1 = state.params["blocks"][0]["ffn"]["fc1"]["weight"]
     assert not np.array_equal(np.asarray(old_fc1), np.asarray(new_fc1))
+
+
+def test_remat_forward_and_grads():
+    """remat=True must compile and match the non-remat forward/gradients."""
+    cfg = tiny_vit_cfg()
+    cfg_r = tiny_vit_cfg(remat=True)
+    params = init_transformer(jax.random.key(3), cfg)
+    x, y = make_batch(4, cfg, seed=9)
+
+    def loss(c):
+        def f(p):
+            logits = apply_transformer(p, c, x, deterministic=False)
+            return cross_entropy_loss(logits, y)
+        return f
+
+    l0, g0 = jax.value_and_grad(loss(cfg))(params)
+    l1, g1 = jax.value_and_grad(loss(cfg_r))(params)
+    assert np.allclose(float(l0), float(l1), atol=1e-6)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)

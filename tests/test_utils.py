@@ -98,3 +98,26 @@ class TestUpdateDict:
         update_dict(acc, {"x": np.ones((2, 3))})
         update_dict(acc, {"x": np.zeros((1, 3)), "y": np.ones(2)})
         assert acc["x"].shape == (3, 3) and acc["y"].shape == (2,)
+
+
+def test_cli_preserves_leading_zero_checkpoint_steps():
+    """yaml 1.1 would read 0000001000 as octal 512 — must stay a string."""
+    from vitef_tpu.utils.cli import from_cli
+
+    out = from_cli(["checkpoint_step=0000001000", "n=12", "f=1.5"])
+    assert out["checkpoint_step"] == "0000001000"
+    assert out["n"] == 12 and out["f"] == 1.5
+    # yaml 1.1 keeps '1e-3' a string (no dot); the typed builder coerces it
+    assert out["n"] != "12"
+
+
+def test_typed_int_to_str_coercion():
+    from dataclasses import dataclass
+
+    from vitef_tpu.utils.typed import build_with_type_check
+
+    @dataclass
+    class C:
+        step: str | None = None
+
+    assert build_with_type_check(C, {"step": 512}).step == "512"

@@ -276,16 +276,29 @@ class Loader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put(item) -> bool:
+            # Bounded put that honors `stop`: a consumer abandoning the
+            # iterator mid-epoch must not leave the producer blocked forever
+            # on a full queue (pinning batches of host memory).
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             try:
                 for idx in batches:
                     if stop.is_set():
                         return
-                    q.put(self._assemble(idx))
+                    if not put(self._assemble(idx)):
+                        return
             except BaseException as e:  # surface in consumer
-                q.put(e)
+                put(e)
             finally:
-                q.put(None)
+                put(None)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
@@ -352,6 +365,11 @@ def build_train_val_loader(
     val_batch_size = config.pop("val_batch_size", 128)
     size = config.pop("size", 224)
     extra = _pop_loader_kwargs(config)
+    # Only the TRAIN loader shards across processes: every host must evaluate
+    # the identical full validation set so the best-checkpoint decision
+    # (train.py eval loop) is consistent across hosts.
+    val_extra = {k: v for k, v in extra.items()
+                 if k not in ("shard_index", "shard_count")}
 
     if config["dataset_name"] in PREDEFINED_VAL_DATASETS:
         logger.info(
@@ -364,7 +382,7 @@ def build_train_val_loader(
         train_loader = Loader(train_set, batch_size=batch_size, size=size,
                               mode="train", shuffle=True, drop_last=True, **extra)
         val_loader = Loader(val_set, batch_size=val_batch_size, size=size,
-                            mode="val", shuffle=False, drop_last=False, **extra)
+                            mode="val", shuffle=False, drop_last=False, **val_extra)
     else:
         logger.info(
             "Validation set is not pre-defined, thus training set is split into "
@@ -382,7 +400,7 @@ def build_train_val_loader(
                               indices=train_idx, **extra)
         val_loader = Loader(dataset, batch_size=val_batch_size, size=size,
                             mode="val", shuffle=False, drop_last=False,
-                            indices=val_idx, **extra)
+                            indices=val_idx, **val_extra)
 
     if return_n_classes:
         return train_loader, val_loader, n_classes

@@ -468,16 +468,20 @@ def apply_transformer(params: dict, cfg: TransformerConfig, x, *,
         rngs = list(jax.random.split(rng, n_rngs))
     out = apply_embedding(params["embedding"], cfg, x,
                           deterministic=deterministic, rng=rngs[0])
-    block_fn = apply_block
     if cfg.remat and not verbose:
-        block_fn = jax.checkpoint(
-            apply_block, static_argnums=(1,),
-            static_argnames=("deterministic", "verbose"),
-        )
+        # Close over the static config/flags: jax.checkpoint only accepts
+        # array-pytree positional args (rng=None is a valid empty pytree).
+        @jax.checkpoint
+        def block_fn(bp, out, rng):
+            return apply_block(bp, cfg, out, deterministic=deterministic,
+                               rng=rng, verbose=False)
+    else:
+        def block_fn(bp, out, rng):
+            return apply_block(bp, cfg, out, deterministic=deterministic,
+                               rng=rng, verbose=verbose)
     attentions = []
     for i, bp in enumerate(params["blocks"]):
-        out = block_fn(bp, cfg, out, deterministic=deterministic,
-                       rng=rngs[1 + i], verbose=verbose)
+        out = block_fn(bp, out, rngs[1 + i])
         if verbose:
             out, att = out
             attentions.append(att)

@@ -42,7 +42,7 @@ import jax
 import numpy as np
 
 from ..parallel.mesh import get_rank, is_master_process
-from ..utils.tree import json_serializable
+from ..utils.tree import json_serializable, keystr_dotted
 
 logger = logging.getLogger("vitef")
 
@@ -66,20 +66,10 @@ class CheckpointerConfig:
 
 
 def _flatten_with_paths(tree) -> dict[str, np.ndarray]:
-    out = {}
-    for path, leaf in jax.tree_util.tree_leaves_with_path(tree):
-        parts = []
-        for p in path:
-            if isinstance(p, jax.tree_util.DictKey):
-                parts.append(str(p.key))
-            elif isinstance(p, jax.tree_util.SequenceKey):
-                parts.append(str(p.idx))
-            elif isinstance(p, jax.tree_util.GetAttrKey):
-                parts.append(str(p.name))
-            else:
-                parts.append(str(p))
-        out[".".join(parts)] = np.asarray(leaf)
-    return out
+    return {
+        keystr_dotted(path): np.asarray(leaf)
+        for path, leaf in jax.tree_util.tree_leaves_with_path(tree)
+    }
 
 
 def _unflatten_like(tree, flat: dict[str, np.ndarray]):
@@ -88,17 +78,7 @@ def _unflatten_like(tree, flat: dict[str, np.ndarray]):
     treedef = jax.tree_util.tree_structure(tree)
     new_leaves = []
     for path, leaf in paths_leaves:
-        parts = []
-        for p in path:
-            if isinstance(p, jax.tree_util.DictKey):
-                parts.append(str(p.key))
-            elif isinstance(p, jax.tree_util.SequenceKey):
-                parts.append(str(p.idx))
-            elif isinstance(p, jax.tree_util.GetAttrKey):
-                parts.append(str(p.name))
-            else:
-                parts.append(str(p))
-        key = ".".join(parts)
+        key = keystr_dotted(path)
         if key not in flat:
             raise KeyError(f"checkpoint missing entry {key!r}")
         val = flat[key]
@@ -221,8 +201,17 @@ class Checkpointer:
 
     def save(self, path, eval_flag: str = "") -> None:
         """Async save (checkpoint.py:208-230): join previous, stage to host
-        synchronously, write in the background."""
+        synchronously, write in the background.
+
+        Multi-host: single-writer — only the master process writes (the
+        reference's DCP performs a collective save; here the state is gathered
+        on the master). Per-host-sharded (FSDP) state on multiple hosts is not
+        yet supported by this writer (the staging ``device_get`` requires fully
+        addressable arrays); use replicated params or an orbax backend there.
+        """
         self._wait()
+        if not is_master_process():
+            return
         logger.info(f"Saving checkpoint at step {self.step} to {str(path)}.")
         state = self.get_state()
         # Synchronous host staging: the jitted step donates buffers, so device
@@ -236,13 +225,12 @@ class Checkpointer:
             "training": state.get("training", {}),
         }
         model_config = self.model_config
-        master = is_master_process()
 
         def write():
             _write_state(Path(path), staged)
             if eval_flag:
                 (Path(path) / f"eval_{eval_flag}").touch()
-            if model_config is not None and master:
+            if model_config is not None:
                 with open(Path(path) / "params.json", "w") as f:
                     json.dump(json_serializable(model_config), f)
 

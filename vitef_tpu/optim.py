@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from .utils.tree import keystr_dotted as _path_str
 from .utils.typed import build_with_type_check
 
 # ------------------------------------------------------------------------------
@@ -159,18 +160,6 @@ FREEZE_MAP = {
     "ffn_fc1": ["ffn.fc1"],
     "ffn_fc2": ["ffn.fc2"],
 }
-
-
-def _path_str(path) -> str:
-    parts = []
-    for p in path:
-        if isinstance(p, jax.tree_util.DictKey):
-            parts.append(str(p.key))
-        elif isinstance(p, jax.tree_util.SequenceKey):
-            parts.append(str(p.idx))
-        else:
-            parts.append(str(p))
-    return ".".join(parts)
 
 
 def trainable_mask(params, components: list[str]) -> Any:

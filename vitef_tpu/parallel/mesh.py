@@ -33,6 +33,8 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..utils.tree import keystr_dotted as _path_str
+
 logger = logging.getLogger(__name__)
 
 
@@ -161,18 +163,6 @@ _TP_RULES = [
 ]
 
 
-def _path_str(path) -> str:
-    parts = []
-    for p in path:
-        if isinstance(p, jax.tree_util.DictKey):
-            parts.append(str(p.key))
-        elif isinstance(p, jax.tree_util.SequenceKey):
-            parts.append(str(p.idx))
-        else:
-            parts.append(str(p))
-    return ".".join(parts)
-
-
 def param_shardings(params, mesh: Mesh, fsdp: bool = False):
     """NamedSharding pytree for the parameters.
 
@@ -212,7 +202,22 @@ def batch_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Place a batch pytree with the leading axis sharded over 'dp'."""
+    """Place a batch pytree with the leading axis sharded over 'dp'.
+
+    Single-controller: plain ``device_put``. Multi-host: each process holds a
+    DIFFERENT local shard (the loader strides the epoch across processes), so
+    the global array must be assembled with
+    ``jax.make_array_from_process_local_data`` — ``device_put`` would treat
+    each host's local batch as the same global value and silently drop the
+    non-addressable rows.
+    """
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                batch_sharding(mesh, x.ndim), np.asarray(x)
+            ),
+            batch,
+        )
     return jax.device_put(
         batch, jax.tree.map(lambda x: batch_sharding(mesh, x.ndim), batch)
     )

@@ -74,7 +74,10 @@ def make_train_step(
     from ..optim import global_grad_norm
 
     def loss_of(params, x, y, rng):
-        logits = apply_fn(params, x, deterministic=rng is None, rng=rng)
+        # Train mode unconditionally (deterministic=False): batch norm must use
+        # batch statistics even when no rng is passed (rng only gates dropout,
+        # and all dropout applications guard on rate > 0).
+        logits = apply_fn(params, x, deterministic=False, rng=rng)
         return loss_fn(logits, y)
 
     grad_fn = jax.value_and_grad(loss_of)

@@ -21,8 +21,20 @@ from typing import Any, Callable
 import yaml
 
 
+import re
+
+_LEADING_ZERO_INT = re.compile(r"^0\d+$")
+
+
 def _parse_value(raw: str) -> Any:
-    """Parse a CLI string value: yaml-style scalars, lists, null."""
+    """Parse a CLI string value: yaml-style scalars, lists, null.
+
+    Leading-zero digit strings stay strings: yaml 1.1 would read
+    ``checkpoint_step=0000001000`` as OCTAL 512, silently corrupting the
+    {:010d}-formatted checkpoint step names.
+    """
+    if _LEADING_ZERO_INT.match(raw):
+        return raw
     try:
         return yaml.safe_load(raw)
     except yaml.YAMLError:

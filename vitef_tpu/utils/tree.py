@@ -35,6 +35,28 @@ def get_numpy(x) -> np.ndarray:
     return out
 
 
+def keystr_dotted(path) -> str:
+    """jax keypath → dotted string ('blocks.0.attn.qkv_mat.weight').
+
+    The single owner of this mapping: freeze masks, TP sharding rules, and the
+    checkpoint key layout all match on these strings, so they must agree on
+    DictKey/SequenceKey/GetAttrKey handling.
+    """
+    import jax
+
+    parts = []
+    for p in path:
+        if isinstance(p, jax.tree_util.DictKey):
+            parts.append(str(p.key))
+        elif isinstance(p, jax.tree_util.SequenceKey):
+            parts.append(str(p.idx))
+        elif isinstance(p, jax.tree_util.GetAttrKey):
+            parts.append(str(p.name))
+        else:
+            parts.append(str(p))
+    return ".".join(parts)
+
+
 def move_to_host(x):
     """Device pytree → host numpy pytree (reference move_to_cpu, utils.py:190-193).
 

@@ -21,9 +21,11 @@ def _convert(value: Any, hint: Any) -> Any:
     if hint is Any or hint is dataclasses.MISSING:
         return value
 
+    import types
+
     origin = get_origin(hint)
 
-    if origin is Union:  # includes Optional
+    if origin is Union or origin is types.UnionType:  # typing.Union and PEP-604 `X | Y`
         args = get_args(hint)
         if value is None and type(None) in args:
             return None
@@ -85,6 +87,8 @@ def _convert(value: Any, hint: Any) -> Any:
             return float(value)
         if hint is int and isinstance(value, float) and value.is_integer():
             return int(value)
+        if hint is str and isinstance(value, (int, float)):
+            return str(value)
         if isinstance(value, str):
             return hint(value)
         raise TypeError(f"cannot convert {value!r} to {hint}")
