@@ -33,29 +33,43 @@ from .utils import EvalState
 logger = logging.getLogger("vitef")
 
 
-# jit cache keyed by the apply callable's identity: model.apply is a fresh
-# bound-method object on every attribute access, so without this every
-# run_evaluation call (one per eval_period) would build a new jax.jit wrapper
-# and recompile the full forward.
-_EVAL_STEP_CACHE: dict[Any, Any] = {}
-
-
 def _cached_eval_step(apply_fn):
-    key = (getattr(apply_fn, "__func__", apply_fn),
-           id(getattr(apply_fn, "__self__", None)))
-    if key not in _EVAL_STEP_CACHE:
-        _EVAL_STEP_CACHE[key] = (
-            getattr(apply_fn, "__self__", None),  # keep owner alive (id stability)
-            make_eval_step(apply_fn),
-        )
-    return _EVAL_STEP_CACHE[key][1]
+    """One jitted eval step per model: model.apply is a fresh bound-method
+    object on every attribute access, so an unconditional make_eval_step would
+    recompile the full forward at every eval period. The cache lives ON the
+    owning object (dies with the model — no module-level retention)."""
+    owner = getattr(apply_fn, "__self__", None)
+    if owner is None:
+        return make_eval_step(apply_fn)
+    step = getattr(owner, "_cached_eval_step", None)
+    if step is None:
+        step = make_eval_step(apply_fn)
+        try:
+            owner._cached_eval_step = step
+        except (AttributeError, TypeError):  # frozen/slotted owner
+            pass
+    return step
 
 
-def run_evaluation(apply_fn, params, loader) -> dict[str, Any]:
-    """Mean-of-batch-means accuracy and loss (reference eval.py:45-89)."""
+def run_evaluation(apply_fn, params, loader, mesh=None) -> dict[str, Any]:
+    """Mean-of-batch-means accuracy and loss (reference eval.py:45-89).
+
+    Multi-host: the validation loader is deliberately UNsharded (every host
+    iterates the identical full set so best-checkpoint decisions agree), so
+    each batch is the same value on every process — replicate it onto the
+    global mesh before feeding params that span non-addressable devices.
+    """
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec
+
     state = EvalState()
     eval_step = _cached_eval_step(apply_fn)
+    replicate = mesh is not None and jax.process_count() > 1
     for x_batch, y_batch in loader:
+        if replicate:
+            sharding = NamedSharding(mesh, PartitionSpec())
+            x_batch = jax.device_put(x_batch, sharding)
+            y_batch = jax.device_put(y_batch, sharding)
         acc, loss = eval_step(params, (x_batch, y_batch))
         state.accuracy += float(acc)
         state.loss += float(loss)

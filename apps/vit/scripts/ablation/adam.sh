@@ -18,7 +18,7 @@ ABLATION_SEEDS=(0)
 COMP_INDICES=(0 2 3 4 5 6)
 
 rescale_lr() {  # lr / 100, formatted like %.2e (matches ADAM_LR_VALUES)
-  awk "BEGIN{printf \"%.2e\", $1/100}"
+  LC_ALL=C awk "BEGIN{printf \"%.2e\", $1/100}"
 }
 
 for dataset_name in "${DATASETS[@]}"; do

@@ -12,7 +12,7 @@ DATASETS=(
 ABLATION_SEEDS=(0)
 COMP_INDICES=(0 2 3 4 5 6)
 
-rescale_lr() { awk "BEGIN{printf \"%.2e\", $1/100}"; }
+rescale_lr() { LC_ALL=C awk "BEGIN{printf \"%.2e\", $1/100}"; }
 
 for dataset_name in "${DATASETS[@]}"; do
   ds_key="${dataset_name//-corruption-/_}"

@@ -275,3 +275,28 @@ def test_loader_sharding_disjoint_and_complete():
         assert len(loader) == 2  # 40/4 = 10 per shard, batch 5
     all_idx = np.concatenate(orders)
     assert len(all_idx) == 40 and len(set(all_idx.tolist())) == 40
+
+
+def test_loader_sharding_equal_sizes_when_ragged():
+    """Epoch trimmed to a shard_count multiple: all shards equal, synchronized."""
+    from vitef_tpu.data.images.datasets import ImageDataset
+
+    class DS(ImageDataset):
+        def __init__(self):
+            self.data = np.zeros((42, 8, 8, 3), np.uint8)  # 42 % 4 = 2
+            self.targets = np.arange(42) % 4
+            self.n_classes = 4
+
+    ds = DS()
+    orders, lens = [], []
+    for i in range(4):
+        loader = Loader(ds, batch_size=5, size=8, mode="test", shuffle=True,
+                        drop_last=True, num_workers=0, seed=7,
+                        shard_index=i, shard_count=4)
+        o = loader._epoch_order()
+        orders.append(o)
+        lens.append(len(o))
+        assert len(loader) == 2
+    assert lens == [10, 10, 10, 10]  # equal — hosts stay in lockstep
+    all_idx = np.concatenate(orders)
+    assert len(set(all_idx.tolist())) == 40  # disjoint (2 trimmed)

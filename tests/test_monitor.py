@@ -168,3 +168,16 @@ def test_utility_gc_control():
         u()
         u()
     assert gc.isenabled()
+
+
+def test_eval_orchestrator_normalizes_integer_steps(saving_dir):
+    from vitef_tpu.monitor import build_eval_orchestrator, build_orchestrator
+
+    build_orchestrator({"log_dir": "exp3", "config_file": {},
+                        "checkpoint_period": 1, "logging_period": 1})
+    ckpts = saving_dir / "runs" / "exp3" / "checkpoints"
+    (ckpts / "0000000512").mkdir(parents=True)
+    # both the un-padded int-ish form and the padded form resolve
+    for step in ("512", "0000000512"):
+        orch = build_eval_orchestrator({"log_dir": "exp3", "checkpoint_step": step})
+        assert orch["checkpoint_dir"].name == "0000000512"

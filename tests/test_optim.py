@@ -221,3 +221,29 @@ def test_frozen_params_not_updated_and_clip_ignores_them():
         g.size for g, m in zip(jax.tree.leaves(grads), jax.tree.leaves(mask)) if m
     )
     assert np.allclose(float(gn), np.sqrt(n_trainable), atol=1e-4)
+
+
+def test_weight_decay_never_touches_running_stats():
+    """Decoupled (adamw) and L2 (sgd) weight decay must skip batch-norm
+    running statistics even when build_optimizer has no params."""
+    params = {
+        "blocks": [{"ffn_norm": {
+            "weight": jnp.ones((4,)), "bias": jnp.zeros((4,)),
+            "running_mean": jnp.full((4,), 0.5),
+            "running_var": jnp.full((4,), 2.0),
+        }}],
+    }
+    grads = jax.tree.map(jnp.zeros_like, params)  # stats get zero grads
+    for name in ("adamw", "sgd"):
+        tx, _ = build_optimizer({"optimizer": name, "lr": 0.1,
+                                 "weight_decay": 0.5, "momentum": 0.9})
+        state = tx.init(params)
+        p = params
+        for _ in range(3):
+            updates, state = tx.update(grads, state, p)
+            p = optax.apply_updates(p, updates)
+        norm = p["blocks"][0]["ffn_norm"]
+        assert np.allclose(np.asarray(norm["running_mean"]), 0.5), name
+        assert np.allclose(np.asarray(norm["running_var"]), 2.0), name
+        # trainable weight DOES decay
+        assert not np.allclose(np.asarray(norm["weight"]), 1.0), name

@@ -168,15 +168,24 @@ class Loader:
         self.n_classes = dataset.n_classes
 
     # -- sizing ---------------------------------------------------------
+    def _shard_size(self) -> int:
+        # Equal shard sizes: trim the epoch to a multiple of shard_count so
+        # every host runs the SAME number of batches (unequal shards would
+        # desynchronize the hosts' identically-seeded RNG streams after one
+        # epoch, breaking the disjointness invariant).
+        if self.shard_count > 1:
+            return len(self.indices) - len(self.indices) % self.shard_count
+        return len(self.indices)
+
     def __len__(self):
-        n = len(self.indices) // self.shard_count if self.shard_count > 1 \
+        n = self._shard_size() // self.shard_count if self.shard_count > 1 \
             else len(self.indices)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def _epoch_order(self) -> np.ndarray:
         order = self.rng.permutation(self.indices) if self.shuffle else self.indices
         if self.shard_count > 1:
-            order = order[self.shard_index::self.shard_count]
+            order = order[: self._shard_size()][self.shard_index::self.shard_count]
         return order
 
     # -- host batch assembly -------------------------------------------

@@ -433,7 +433,7 @@ def apply_output(params: dict, cfg: TransformerConfig, x, *, emb_params=None,
     p = params["output_layer"]
     ot = cfg.output_type.lower()
     if ot == "classification":
-        out = _norm(p["norm"], cfg, x)
+        out = _norm(p["norm"], cfg, x, deterministic)
         if not deterministic and cfg.output_dropout > 0:
             out = _dropout(out, cfg.output_dropout, rng, deterministic=False)
         out = out[:, 0, :]  # CLS token (transformer/utils.py:420)
@@ -445,7 +445,7 @@ def apply_output(params: dict, cfg: TransformerConfig, x, *, emb_params=None,
             out = _dropout(out, cfg.output_dropout, rng, deterministic=False)
         return _linear(p["head"], out, cd).astype(jnp.float32)
     if ot == "sequence_to_sequence":
-        out = _norm(p["norm"], cfg, x)
+        out = _norm(p["norm"], cfg, x, deterministic)
         if not deterministic and cfg.output_dropout > 0:
             out = _dropout(out, cfg.output_dropout, rng, deterministic=False)
         if cfg.weight_tying:

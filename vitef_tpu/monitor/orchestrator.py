@@ -135,6 +135,10 @@ def build_eval_orchestrator(config: dict[str, Any]) -> dict[str, Any]:
         steps = sorted(p.name for p in checkpoint_dir.iterdir() if p.is_dir())
         assert steps, f"no checkpoints in {checkpoint_dir}"
         step = steps[-1]
+    elif str(step).isdigit():
+        # Normalize to the Checkpointer's {:010d} dir names so both
+        # checkpoint_step=512 and checkpoint_step=0000000512 resolve.
+        step = f"{int(step):010d}"
     checkpoint_dir = checkpoint_dir / step
 
     logger_config = build_with_type_check(LoggerConfig, {

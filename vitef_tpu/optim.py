@@ -199,12 +199,23 @@ def trainable_mask(params, components: list[str]) -> Any:
 # ------------------------------------------------------------------------------
 
 
+def _no_state_leaves_mask(params):
+    """Weight-decay mask excluding batch-norm running statistics — they carry
+    zero gradients (never read in train mode) but decoupled/L2 weight decay
+    would still corrupt them. Callable form so it also protects the
+    ``build_optimizer(params=None)`` call pattern (optax evaluates it at init)."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: "running_" not in _path_str(path), params
+    )
+
+
 def _sgd_torch(lr: Callable | float, weight_decay: float, momentum: float):
     """torch.optim.SGD semantics: L2 weight decay added to the gradient *before*
     the momentum buffer (torch order), no dampening, no Nesterov."""
     parts = []
     if weight_decay:
-        parts.append(optax.add_decayed_weights(weight_decay))
+        parts.append(optax.masked(optax.add_decayed_weights(weight_decay),
+                                  _no_state_leaves_mask))
     if momentum:
         parts.append(optax.trace(decay=momentum, nesterov=False))
     parts.append(optax.scale_by_learning_rate(lr))
@@ -238,6 +249,7 @@ def build_optimizer(config: dict[str, Any], schedule: Callable | None = None,
                 b1=cfg.betas[0], b2=cfg.betas[1],
                 eps=1e-8,
                 weight_decay=cfg.weight_decay,
+                mask=_no_state_leaves_mask,  # never decay batch-norm stats
             )
         case "sgd":
             inner = _sgd_torch(lr_fn, cfg.weight_decay, cfg.momentum)
