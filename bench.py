@@ -39,6 +39,64 @@ def detect_peak() -> float:
     return 197e12  # assume v5e if unknown
 
 
+def pipeline() -> None:
+    """Loader-inclusive benchmark (``--pipeline``): drives the production
+    Loader (host gather + prefetch thread + on-device augment) on a synthetic
+    CIFAR-shaped dataset through the same train step — catches input-bound
+    regressions the device-only headline metric cannot see. Replaces what
+    DataLoader workers did in the reference (data/images/utils.py:116)."""
+    from vitef_tpu.data.images.datasets import SyntheticDataset, SyntheticDatasetConfig
+    from vitef_tpu.data.images.loader import Loader, make_iterable
+    from vitef_tpu.models import build_model
+    from vitef_tpu.optim import build_optimizer, build_scheduler
+    from vitef_tpu.parallel import init_train_state, make_train_step
+
+    model = build_model(
+        {
+            "implementation": "vit",
+            "model_name": "base",
+            "patch_size": 16,
+            "image_dim": (3, 224, 224),
+            "pretrained": False,
+            "finetuning": True,
+            "n_classes": 10,
+            "compute_dtype": "bfloat16",
+        },
+        key=jax.random.key(0),
+    )
+    schedule = build_scheduler({"scheduler": "cosine", "warmup": 100}, n_steps=1000)
+    tx, _ = build_optimizer(
+        {"optimizer": "sgd", "lr": 0.01, "momentum": 0.9},
+        schedule=schedule, grad_clip=1.0,
+    )
+    step_fn = make_train_step(model.apply, tx, schedule=schedule, base_lr=0.01)
+    state = init_train_state(model.params, tx)
+
+    ds = SyntheticDataset(SyntheticDatasetConfig(n_samples=4096, image_size=32))
+    loader = Loader(ds, batch_size=BATCH, size=224, mode="train",
+                    compute_dtype="bfloat16")
+    it = make_iterable(loader)
+
+    for _ in range(WARMUP):
+        state, metrics = step_fn(state, next(it))
+    float(metrics["loss"])
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        state, metrics = step_fn(state, next(it))
+    float(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    n_chips = jax.local_device_count()
+    images_per_sec_per_chip = BATCH * STEPS / dt / n_chips
+    roofline = detect_peak() / VIT_B_TRAIN_FLOPS_PER_IMG
+    print(json.dumps({
+        "metric": "vit_b16_pipeline_throughput",
+        "value": round(images_per_sec_per_chip, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(images_per_sec_per_chip / roofline, 4),
+    }))
+
+
 def main() -> None:
     from vitef_tpu.data.images.transforms import augment_train_device, sample_crop_batch
     from vitef_tpu.models import build_model
@@ -108,4 +166,9 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--pipeline" in sys.argv:
+        pipeline()
+    else:
+        main()

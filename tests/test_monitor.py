@@ -181,3 +181,68 @@ def test_eval_orchestrator_normalizes_integer_steps(saving_dir):
     for step in ("512", "0000000512"):
         orch = build_eval_orchestrator({"log_dir": "exp3", "checkpoint_step": step})
         assert orch["checkpoint_dir"].name == "0000000512"
+
+
+def test_sharded_checkpoint_fsdp_roundtrip(tmp_path):
+    """Sharded (multi-host-capable) writer: FSDP-sharded params on the 8-device
+    mesh save as per-process shard files + index.json and restore bit-identical
+    (VERDICT.md round-1 gap #2; reference DCP collective save,
+    checkpoint.py:224)."""
+    from vitef_tpu.monitor import Checkpointer, CheckpointerConfig, \
+        load_checkpoint_params
+    from vitef_tpu.parallel import build_mesh, shard_params
+
+    mesh = build_mesh(dp=4, tp=2)
+    params = {
+        "w": jnp.arange(8 * 16, dtype=jnp.float32).reshape(8, 16),
+        "blocks": [
+            {"qkv": jnp.arange(16 * 24, dtype=jnp.float32).reshape(16, 24) / 7,
+             "bias": jnp.arange(24, dtype=jnp.float32)},
+            {"qkv": -jnp.ones((16, 24), jnp.float32),
+             "bias": jnp.zeros((24,))},
+        ],
+        "scalarish": jnp.float32(3.5),
+    }
+    sharded = shard_params(params, mesh, fsdp=True)
+    opt_state = {"momentum": jax.tree.map(jnp.zeros_like, sharded)}
+
+    state = {"params": sharded, "optim": opt_state, "step": 3}
+    cfg = CheckpointerConfig(period=1, path=str(tmp_path / "ckpt"))
+    ckpt = Checkpointer(
+        cfg,
+        get_state=lambda: {"model": state["params"], "optim": state["optim"],
+                           "training": {"step": state["step"]}},
+        sharded=True,  # force the multi-process layout in this 1-process test
+    )
+    ckpt.step = 3
+    ckpt.update(eval_flag="best")
+    ckpt._wait()
+
+    step_dir = tmp_path / "ckpt" / "0000000003"
+    assert (step_dir / "model.shard0.npz").exists()
+    assert (step_dir / "optim.shard0.npz").exists()
+    assert (step_dir / "index.json").exists()
+    assert (step_dir / "eval_best").exists()
+    assert not (step_dir / "model.npz").exists()
+
+    restored = load_checkpoint_params(step_dir, params)
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(params),
+        jax.tree_util.tree_leaves_with_path(restored),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=str(pa))
+
+    # resume path assembles both entries
+    loaded = {}
+    ckpt2 = Checkpointer(
+        cfg,
+        get_state=lambda: None,
+        set_state=lambda m, o, t: loaded.update(model=m, optim=o, training=t),
+        sharded=True,
+    )
+    with ckpt2:
+        pass
+    assert loaded["training"]["step"] == 3
+    np.testing.assert_array_equal(
+        loaded["model"]["w"], np.asarray(params["w"]))
+    assert any(k.startswith("momentum.") for k in loaded["optim"])

@@ -148,6 +148,65 @@ def test_freeze_mask_matches_reference(reference_vitef):
     assert ref_comp == ours_comp
 
 
+@pytest.mark.parametrize(
+    "components",
+    [[], ["emb"], ["attn_norm"], ["mha"], ["ffn_norm"], ["ffn_fc1"], ["ffn_fc2"]],
+    ids=lambda c: "+".join(c) or "all-finetune",
+)
+def test_freeze_set_exact_per_sweep_config(reference_vitef, components):
+    """Exact frozen leaf-name set for each of the paper's 7 freeze configs
+    (reference apps/vit/utils.py:54-91; launch sweep apps/vit/scripts/
+    finetuning.sh). Regression guard for path-segment mask matching."""
+    import torch
+
+    from conftest import load_reference_module
+
+    ref_utils = load_reference_module("apps/vit/utils.py", "ref_app_utils")
+    from vitef.models.transformer.architecture import Transformer, TransformerConfig
+
+    cfg = TransformerConfig(
+        patch_type="computer_vision", image_dim=(3, 16, 16), image_patch="hybrid",
+        patch_size=8, emb_type="linear", emb_dim=16, n_heads=2, n_layers=2,
+        attn_bias=True, ffn_bias=True, norm="layer", norm_bias=True,
+        cls_token=True, output_type="classification", n_classes=3,
+        weight_tying=False, flash=False,
+    )
+    torch.manual_seed(0)
+    model = Transformer(cfg)
+    # freeze_model expects the ViT wrapper shape (model.model.embedding,
+    # apps/vit/utils.py:81-82); wrap the bare Transformer the same way.
+    import types
+
+    ref_utils.freeze_model(types.SimpleNamespace(model=model), components)
+    ref_frozen = {n for n, p in model.named_parameters() if not p.requires_grad}
+
+    from vitef_tpu.models.torch_import import from_vitef_state_dict
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    params = from_vitef_state_dict(sd, 2)
+    mask = trainable_mask(params, components)
+
+    frozen_ours = set()
+
+    def collect(path, leaf):
+        name = ".".join(
+            str(p.key) if hasattr(p, "key") else str(p.idx) for p in path
+        )
+        if not leaf:
+            frozen_ours.add(name)
+
+    jax.tree_util.tree_map_with_path(collect, mask)
+
+    # Name layouts differ only inside the embedding's patching module
+    # (torch Conv2d 'embedding.patching.patching.0.*' vs our matmul-patchify
+    # 'embedding.patching.conv.*'); normalize those, then compare EXACT sets.
+    def norm_name(n):
+        if n.startswith("embedding.patching."):
+            return "embedding.patching." + n.rsplit(".", 1)[-1]
+        return n
+
+    assert {norm_name(n) for n in ref_frozen} == {norm_name(n) for n in frozen_ours}
+
+
 def test_sgd_matches_torch():
     """Our SGD chain reproduces torch.optim.SGD with momentum + weight decay."""
     import torch

@@ -89,7 +89,12 @@ GPT_LIKE = dict(
 
 
 def to_jax(ref_model, n_layers):
-    sd = {k: np.asarray(v.detach().numpy()) for k, v in ref_model.state_dict().items()}
+    # np.array COPY is load-bearing: torch .numpy() shares memory with the
+    # parameter tensors and jax CPU arrays may alias numpy buffers — without
+    # the copy, torch in-place training (opt.step, BN running-stat updates)
+    # after to_jax() silently mutates the "jax" params.
+    sd = {k: np.array(v.detach().numpy(), copy=True)
+          for k, v in ref_model.state_dict().items()}
     return from_vitef_state_dict(sd, n_layers)
 
 
@@ -210,3 +215,147 @@ class TestPostNormBatchNorm:
                                      deterministic=True)
         np.testing.assert_allclose(np.asarray(out_eval), ref_eval,
                                    atol=5e-5, rtol=1e-3)
+
+    def test_running_stat_ema_matches_torch_training(self, reference_vitef):
+        """Train a 2-layer PatchTST-like model N steps in both frameworks:
+        running stats must follow nn.BatchNorm1d EMA (momentum=0.1, unbiased
+        batch var) and post-training eval outputs must agree (VERDICT.md
+        round-1 gap #3; reference transformer/utils.py:184-230)."""
+        import torch
+
+        from vitef_tpu.models.norms import extract_running_stats
+        from vitef_tpu.optim import build_optimizer
+        from vitef_tpu.parallel import init_train_state, make_train_step
+
+        kwargs = dict(
+            length=64, patch_type="time_series", patch_size=16, stride=8,
+            emb_type="linear", emb_dim=32, n_heads=4, n_layers=2, ffn_dim=64,
+            pos_emb=True, attn_bias=True, flash=False, causal=False,
+            activation="gelu", ffn_bias=True, norm="batch", norm_bias=True,
+            norm_eps=1e-5, pre_norm=False, cls_token=False,
+            output_type="forecasting", weight_tying=False,
+            forecasting_horizon=24, dropout=0.0,
+        )
+        ref_model, _ = make_ref_model(reference_vitef, **kwargs)
+        params = to_jax(ref_model, 2)
+        cfg = my_config(**kwargs)
+
+        rng = np.random.default_rng(3)
+        batches = [
+            (rng.normal(size=(8, 64)).astype(np.float32),
+             rng.normal(size=(8, 24)).astype(np.float32))
+            for _ in range(4)
+        ]
+
+        # --- torch training (plain SGD; BN stats update every forward) ---
+        ref_model.train()
+        opt = torch.optim.SGD(ref_model.parameters(), lr=1e-2)
+        for x, y in batches:
+            opt.zero_grad()
+            pred = ref_model(torch.from_numpy(x))
+            loss = torch.nn.functional.mse_loss(pred, torch.from_numpy(y))
+            loss.backward()
+            opt.step()
+
+        # --- ours ---
+        def mse(pred, target):
+            return jnp.mean(jnp.square(pred - target))
+
+        tx, _ = build_optimizer({"optimizer": "sgd", "lr": 1e-2, "momentum": 0.0})
+        apply_fn = lambda p, xx, **kw: apply_transformer(p, cfg, xx, **kw)
+        step_fn = make_train_step(apply_fn, tx, loss_fn=mse, donate=False,
+                                  update_stats=True)
+        state = init_train_state(params, tx)
+        for x, y in batches:
+            state, _ = step_fn(state, (jnp.asarray(x), jnp.asarray(y)))
+
+        # running stats bit-close to torch's EMA
+        ref_sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+        stats = extract_running_stats(state.params)
+        assert set(stats) == {
+            "blocks.0.attn_norm", "blocks.0.ffn_norm",
+            "blocks.1.attn_norm", "blocks.1.ffn_norm",
+        }
+        for i in (0, 1):
+            for ours_name, ref_name in (
+                ("attn_norm", "attn_norm"), ("ffn_norm", "ffn_norm"),
+            ):
+                site = stats[f"blocks.{i}.{ours_name}"]
+                prefix = f"blocks.{i}.{ref_name}.batchnorm"
+                np.testing.assert_allclose(
+                    np.asarray(site["running_mean"]),
+                    ref_sd[f"{prefix}.running_mean"], atol=1e-5, rtol=1e-4,
+                    err_msg=f"{prefix}.running_mean")
+                np.testing.assert_allclose(
+                    np.asarray(site["running_var"]),
+                    ref_sd[f"{prefix}.running_var"], atol=1e-5, rtol=1e-4,
+                    err_msg=f"{prefix}.running_var")
+
+        # eval outputs after training agree
+        ref_model.eval()
+        xe = rng.normal(size=(4, 64)).astype(np.float32)
+        with torch.no_grad():
+            ref_eval = ref_model(torch.from_numpy(xe)).numpy()
+        out_eval = apply_transformer(state.params, cfg, jnp.asarray(xe),
+                                     deterministic=True)
+        np.testing.assert_allclose(np.asarray(out_eval), ref_eval,
+                                   atol=1e-4, rtol=1e-3)
+
+    def test_running_stat_ema_grad_acc_chains_per_microbatch(self, reference_vitef):
+        """grad_acc_steps=2 must EMA per microbatch forward (like the
+        reference's per-microbatch forward passes, train.py:263-274)."""
+        import torch
+
+        from vitef_tpu.models.norms import extract_running_stats
+        from vitef_tpu.optim import build_optimizer
+        from vitef_tpu.parallel import init_train_state, make_train_step
+
+        kwargs = dict(
+            length=64, patch_type="time_series", patch_size=16, stride=8,
+            emb_type="linear", emb_dim=32, n_heads=4, n_layers=1, ffn_dim=64,
+            pos_emb=True, attn_bias=True, flash=False, causal=False,
+            activation="gelu", ffn_bias=True, norm="batch", norm_bias=True,
+            norm_eps=1e-5, pre_norm=False, cls_token=False,
+            output_type="forecasting", weight_tying=False,
+            forecasting_horizon=24, dropout=0.0,
+        )
+        ref_model, _ = make_ref_model(reference_vitef, **kwargs)
+        params = to_jax(ref_model, 1)
+        cfg = my_config(**kwargs)
+
+        rng = np.random.default_rng(4)
+        x = rng.normal(size=(8, 64)).astype(np.float32)  # 2 microbatches of 4
+        y = rng.normal(size=(8, 24)).astype(np.float32)
+
+        # torch: two forward/backward microbatches, one optimizer step
+        ref_model.train()
+        opt = torch.optim.SGD(ref_model.parameters(), lr=1e-2)
+        opt.zero_grad()
+        for sl in (slice(0, 4), slice(4, 8)):
+            pred = ref_model(torch.from_numpy(x[sl]))
+            loss = torch.nn.functional.mse_loss(
+                pred, torch.from_numpy(y[sl])) / 2
+            loss.backward()
+        opt.step()
+
+        def mse(pred, target):
+            return jnp.mean(jnp.square(pred - target))
+
+        tx, _ = build_optimizer({"optimizer": "sgd", "lr": 1e-2, "momentum": 0.0})
+        apply_fn = lambda p, xx, **kw: apply_transformer(p, cfg, xx, **kw)
+        step_fn = make_train_step(apply_fn, tx, loss_fn=mse, donate=False,
+                                  update_stats=True, grad_acc_steps=2)
+        state = init_train_state(params, tx)
+        state, _ = step_fn(state, (jnp.asarray(x), jnp.asarray(y)))
+
+        ref_sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+        stats = extract_running_stats(state.params)
+        for name in ("attn_norm", "ffn_norm"):
+            site = stats[f"blocks.0.{name}"]
+            prefix = f"blocks.0.{name}.batchnorm"
+            np.testing.assert_allclose(
+                np.asarray(site["running_mean"]),
+                ref_sd[f"{prefix}.running_mean"], atol=1e-5, rtol=1e-4)
+            np.testing.assert_allclose(
+                np.asarray(site["running_var"]),
+                ref_sd[f"{prefix}.running_var"], atol=1e-5, rtol=1e-4)

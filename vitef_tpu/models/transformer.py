@@ -388,52 +388,77 @@ def apply_ffn(params: dict, cfg: TransformerConfig, x, *,
     return out
 
 
-def _norm(params, cfg: TransformerConfig, x, deterministic: bool = True):
-    return apply_norm(params, x, kind=cfg.norm, eps=cfg.norm_eps,
-                      impl=cfg.norm_impl, deterministic=deterministic)
+def _norm(params, cfg: TransformerConfig, x, deterministic: bool = True,
+          stats_out: dict | None = None, stats_key: str = ""):
+    """Apply the configured norm; train-mode batch-norm batch statistics are
+    collected into ``stats_out[stats_key]`` when a collector dict is passed."""
+    if stats_out is None:
+        return apply_norm(params, x, kind=cfg.norm, eps=cfg.norm_eps,
+                          impl=cfg.norm_impl, deterministic=deterministic)
+    out, stats = apply_norm(params, x, kind=cfg.norm, eps=cfg.norm_eps,
+                            impl=cfg.norm_impl, deterministic=deterministic,
+                            return_stats=True)
+    if stats is not None:
+        stats_out[stats_key] = stats
+    return out
 
 
 def apply_block(params: dict, cfg: TransformerConfig, x, *,
-                deterministic: bool = True, rng=None, verbose: bool = False):
-    """Pre-/post-norm transformer block (architecture.py:369-380)."""
+                deterministic: bool = True, rng=None, verbose: bool = False,
+                collect_stats: bool = False):
+    """Pre-/post-norm transformer block (architecture.py:369-380).
+
+    ``collect_stats=True`` additionally returns the block's train-mode
+    batch-norm batch statistics ``{"attn_norm": ..., "ffn_norm": ...}`` as an
+    explicit output (explicit so the block stays a pure function under
+    ``jax.checkpoint``).
+    """
+    stats: dict | None = {} if collect_stats else None
     r1 = r2 = None
     if rng is not None:
         r1, r2 = jax.random.split(rng)
     att = None
     if cfg.pre_norm:
         out = apply_attention(params["attn"], cfg,
-                              _norm(params["attn_norm"], cfg, x, deterministic),
+                              _norm(params["attn_norm"], cfg, x, deterministic,
+                                    stats, "attn_norm"),
                               deterministic=deterministic, rng=r1, verbose=verbose)
         if verbose:
             out, att = out
         out = x + out
         out = out + apply_ffn(params["ffn"], cfg,
-                              _norm(params["ffn_norm"], cfg, out, deterministic),
+                              _norm(params["ffn_norm"], cfg, out, deterministic,
+                                    stats, "ffn_norm"),
                               deterministic=deterministic, rng=r2)
     else:
         out = apply_attention(params["attn"], cfg, x,
                               deterministic=deterministic, rng=r1, verbose=verbose)
         if verbose:
             out, att = out
-        out = _norm(params["attn_norm"], cfg, x + out, deterministic)
+        out = _norm(params["attn_norm"], cfg, x + out, deterministic,
+                    stats, "attn_norm")
         out = _norm(params["ffn_norm"], cfg,
                     out + apply_ffn(params["ffn"], cfg, out,
                                     deterministic=deterministic, rng=r2),
-                    deterministic)
+                    deterministic, stats, "ffn_norm")
+    if collect_stats:
+        return (out, att, stats) if verbose else (out, stats)
     if verbose:
         return out, att
     return out
 
 
 def apply_output(params: dict, cfg: TransformerConfig, x, *, emb_params=None,
-                 deterministic: bool = True, rng=None):
+                 deterministic: bool = True, rng=None,
+                 stats_out: dict | None = None):
     """Task head (architecture.py:355-563): classification (CLS-token pool),
     forecasting (flatten), or seq2seq (optionally weight-tied)."""
     cd = cfg.cdtype()
     p = params["output_layer"]
     ot = cfg.output_type.lower()
     if ot == "classification":
-        out = _norm(p["norm"], cfg, x, deterministic)
+        out = _norm(p["norm"], cfg, x, deterministic, stats_out,
+                    "output.output_layer.norm")
         if not deterministic and cfg.output_dropout > 0:
             out = _dropout(out, cfg.output_dropout, rng, deterministic=False)
         out = out[:, 0, :]  # CLS token (transformer/utils.py:420)
@@ -445,7 +470,8 @@ def apply_output(params: dict, cfg: TransformerConfig, x, *, emb_params=None,
             out = _dropout(out, cfg.output_dropout, rng, deterministic=False)
         return _linear(p["head"], out, cd).astype(jnp.float32)
     if ot == "sequence_to_sequence":
-        out = _norm(p["norm"], cfg, x, deterministic)
+        out = _norm(p["norm"], cfg, x, deterministic, stats_out,
+                    "output.output_layer.norm")
         if not deterministic and cfg.output_dropout > 0:
             out = _dropout(out, cfg.output_dropout, rng, deterministic=False)
         if cfg.weight_tying:
@@ -459,9 +485,20 @@ def apply_output(params: dict, cfg: TransformerConfig, x, *, emb_params=None,
 
 
 def apply_transformer(params: dict, cfg: TransformerConfig, x, *,
-                      deterministic: bool = True, rng=None, verbose: bool = False):
+                      deterministic: bool = True, rng=None, verbose: bool = False,
+                      return_stats: bool = False):
     """Full forward (architecture.py:824-854). ``verbose=True`` additionally returns
-    the stacked (n_layers, N, h, L, L) attention matrices."""
+    the stacked (n_layers, N, h, L, L) attention matrices.
+
+    ``return_stats=True`` (train mode, batch norm) additionally returns a flat
+    ``{dotted_param_path: {"running_mean", "running_var"}}`` dict of the batch
+    statistics of every batch-norm site (nn.BatchNorm1d running-stat semantics;
+    see models/norms.py) for the train step to EMA into the params. Empty for
+    layer/rms norms. Mutually exclusive with ``verbose``.
+    """
+    collect = return_stats and not deterministic and cfg.norm.lower() == "batch"
+    if return_stats and verbose:
+        raise ValueError("return_stats and verbose are mutually exclusive")
     n_rngs = cfg.n_layers + 2
     rngs = [None] * n_rngs
     if rng is not None and not deterministic:
@@ -471,24 +508,37 @@ def apply_transformer(params: dict, cfg: TransformerConfig, x, *,
     if cfg.remat and not verbose:
         # Close over the static config/flags: jax.checkpoint only accepts
         # array-pytree positional args (rng=None is a valid empty pytree).
+        # Batch stats are an explicit checkpointed output (purity).
         @jax.checkpoint
         def block_fn(bp, out, rng):
             return apply_block(bp, cfg, out, deterministic=deterministic,
-                               rng=rng, verbose=False)
+                               rng=rng, verbose=False, collect_stats=collect)
     else:
         def block_fn(bp, out, rng):
             return apply_block(bp, cfg, out, deterministic=deterministic,
-                               rng=rng, verbose=verbose)
+                               rng=rng, verbose=verbose, collect_stats=collect)
     attentions = []
+    all_stats: dict = {}
     for i, bp in enumerate(params["blocks"]):
         out = block_fn(bp, out, rngs[1 + i])
-        if verbose:
+        if collect:
+            if verbose:
+                out, att, bstats = out
+                attentions.append(att)
+            else:
+                out, bstats = out
+            for key, val in bstats.items():
+                all_stats[f"blocks.{i}.{key}"] = val
+        elif verbose:
             out, att = out
             attentions.append(att)
     out = apply_output(params["output"], cfg, out, emb_params=params["embedding"],
-                       deterministic=deterministic, rng=rngs[-1])
+                       deterministic=deterministic, rng=rngs[-1],
+                       stats_out=all_stats if collect else None)
     if verbose:
-        return out, jnp.stack(attentions)
+        out = (out, jnp.stack(attentions))
+    if return_stats:
+        return out, all_stats
     return out
 
 

@@ -103,11 +103,101 @@ def _write_state(path: Path, state: dict[str, Any]) -> None:
         raise
 
 
+# ------------------------------------------------------------------------------
+# Sharded (multi-host capable) staging: gather-free per-process shard files
+# ------------------------------------------------------------------------------
+
+
+def _stage_shard_pieces(tree) -> tuple[dict[str, np.ndarray], dict]:
+    """Stage THIS process's addressable shards of a (possibly sharded) pytree.
+
+    Works for per-host-sharded (multi-host FSDP) state where ``device_get``
+    would fail: each process copies out only the shards it owns (first replica
+    only, so replicated leaves are written exactly once across the fleet).
+    Returns ``(pieces, meta)`` where pieces are keyed ``<path>@<start,...>``
+    and meta records each leaf's global shape/dtype. Reference capability:
+    torch DCP's collective save (checkpoint.py:224, :26-28).
+    """
+    pieces: dict[str, np.ndarray] = {}
+    meta: dict[str, dict] = {}
+    for path, leaf in jax.tree_util.tree_leaves_with_path(tree):
+        key = keystr_dotted(path)
+        meta[key] = {"shape": list(np.shape(leaf)),
+                     "dtype": str(np.asarray(leaf).dtype
+                                  if not isinstance(leaf, jax.Array)
+                                  else leaf.dtype)}
+        if isinstance(leaf, jax.Array) and hasattr(leaf, "addressable_shards"):
+            seen = set()
+            for shard in leaf.addressable_shards:
+                if shard.replica_id != 0:
+                    continue
+                starts = tuple(
+                    0 if sl.start is None else int(sl.start) for sl in shard.index
+                )
+                if starts in seen:  # same piece on several local devices
+                    continue
+                seen.add(starts)
+                pieces[f"{key}@{','.join(map(str, starts))}"] = np.asarray(
+                    shard.data
+                )
+        elif is_master_process():
+            arr = np.asarray(leaf)
+            pieces[f"{key}@{','.join(['0'] * arr.ndim)}"] = arr
+    return pieces, meta
+
+
+def _assemble_from_shards(path: Path, prefix: str) -> dict[str, np.ndarray]:
+    """Reassemble full host arrays from ``<prefix>.shard<rank>.npz`` files
+    using ``index.json`` (written by the master at save time)."""
+    with open(path / "index.json") as f:
+        index = json.load(f)
+    n_files = int(index["n_processes"])
+    meta = index[prefix]
+    out = {
+        key: np.empty(m["shape"], dtype=np.dtype(m["dtype"]))
+        for key, m in meta.items()
+    }
+    filled = {key: 0 for key in meta}
+    for rank in range(n_files):
+        shard_file = path / f"{prefix}.shard{rank}.npz"
+        if not shard_file.exists():
+            raise FileNotFoundError(
+                f"incomplete checkpoint: missing {shard_file.name}"
+            )
+        with np.load(shard_file) as z:
+            for piece_key in z.files:
+                key, _, starts_s = piece_key.rpartition("@")
+                piece = z[piece_key]
+                starts = ([int(s) for s in starts_s.split(",")]
+                          if starts_s else [])
+                sl = tuple(
+                    slice(st, st + sz) for st, sz in zip(starts, piece.shape)
+                )
+                out[key][sl] = piece
+                filled[key] += piece.size
+    for key, m in meta.items():
+        expected = int(np.prod(m["shape"])) if m["shape"] else 1
+        if filled[key] < expected:
+            raise ValueError(f"checkpoint entry {key!r} has missing shards")
+    return out
+
+
+def _load_flat(path: Path, prefix: str) -> dict[str, np.ndarray] | None:
+    """Load a state entry: single-file ``<prefix>.npz`` or sharded files."""
+    if (path / f"{prefix}.npz").exists():
+        with np.load(path / f"{prefix}.npz") as z:
+            return {k: z[k] for k in z.files}
+    if (path / f"{prefix}.shard0.npz").exists():
+        return _assemble_from_shards(path, prefix)
+    return None
+
+
 def load_checkpoint_params(path, params_like):
     """Load only the ``model`` entry of a checkpoint dir into the structure of
     ``params_like`` (reference eval.py:189-191, linear_probing.py:265-267)."""
-    with np.load(Path(path) / "model.npz") as z:
-        flat = {k: z[k] for k in z.files}
+    flat = _load_flat(Path(path), "model")
+    if flat is None:
+        raise FileNotFoundError(f"no model entry in checkpoint {path}")
     return _unflatten_like(params_like, flat)
 
 
@@ -124,11 +214,15 @@ class Checkpointer:
     re_digits = re.compile(r"\d+")
 
     def __init__(self, config: CheckpointerConfig, get_state, set_state=None,
-                 model_config: dict | None = None):
+                 model_config: dict | None = None, sharded: bool | None = None):
         self.period = config.period
         self.n_kept = config.n_kept
         self.path = Path(config.path)
         self.path.mkdir(parents=True, exist_ok=True)
+        # sharded=None: auto — per-process shard files whenever >1 process
+        # (per-host FSDP state is not fully addressable; a master gather would
+        # fail). Single process keeps the compact model.npz layout.
+        self.sharded = sharded
 
         self.get_state = get_state
         self.set_state = set_state
@@ -183,15 +277,13 @@ class Checkpointer:
         self.saved_step = self.step
 
     def load(self, path) -> None:
-        """Load a checkpoint (checkpoint.py:183-206)."""
+        """Load a checkpoint (checkpoint.py:183-206): single-file or sharded."""
         logger.info(f"Loading checkpoint from {str(path)}.")
         path = Path(path)
-        with np.load(path / "model.npz") as z:
-            model_flat = {k: z[k] for k in z.files}
-        optim_flat = None
-        if (path / "optim.npz").exists():
-            with np.load(path / "optim.npz") as z:
-                optim_flat = {k: z[k] for k in z.files}
+        model_flat = _load_flat(path, "model")
+        if model_flat is None:
+            raise FileNotFoundError(f"no model entry in checkpoint {path}")
+        optim_flat = _load_flat(path, "optim")
         with open(path / "training.json") as f:
             training = json.load(f)
         if self.set_state is None:
@@ -203,13 +295,24 @@ class Checkpointer:
         """Async save (checkpoint.py:208-230): join previous, stage to host
         synchronously, write in the background.
 
-        Multi-host: single-writer — only the master process writes (the
-        reference's DCP performs a collective save; here the state is gathered
-        on the master). Per-host-sharded (FSDP) state on multiple hosts is not
-        yet supported by this writer (the staging ``device_get`` requires fully
-        addressable arrays); use replicated params or an orbax backend there.
+        Two write layouts behind the same dir contract:
+
+        - single process (``sharded`` False/auto-off): master-only writer,
+          compact ``model.npz``/``optim.npz`` staged via ``device_get``;
+        - multi-process (``sharded`` True/auto-on): collective, gather-free —
+          EVERY process stages its addressable shards (first replica only) and
+          writes ``model.shard<rank>.npz``; the master adds ``index.json``
+          (global shapes/dtypes/process count), ``training.json``,
+          ``params.json`` and the eval flag. This is the DCP-equivalent save
+          that works for per-host-sharded FSDP state
+          (reference checkpoint.py:224 ``dcp.async_save``).
         """
         self._wait()
+        sharded = (self.sharded if self.sharded is not None
+                   else jax.process_count() > 1)
+        if sharded:
+            self._save_sharded(path, eval_flag)
+            return
         if not is_master_process():
             return
         logger.info(f"Saving checkpoint at step {self.step} to {str(path)}.")
@@ -233,6 +336,49 @@ class Checkpointer:
             if model_config is not None:
                 with open(Path(path) / "params.json", "w") as f:
                     json.dump(json_serializable(model_config), f)
+
+        self.process = self._executor.submit(write)
+
+    def _save_sharded(self, path, eval_flag: str = "") -> None:
+        """Per-process shard write (synchronous staging, background IO)."""
+        logger.info(
+            f"Saving sharded checkpoint at step {self.step} to {str(path)} "
+            f"(rank {self.device_rank})."
+        )
+        state = self.get_state()
+        model_pieces, model_meta = _stage_shard_pieces(state["model"])
+        optim_pieces = optim_meta = None
+        if state.get("optim") is not None:
+            optim_pieces, optim_meta = _stage_shard_pieces(state["optim"])
+        training = state.get("training", {})
+        model_config = self.model_config
+        rank, master = self.device_rank, is_master_process()
+        n_proc = jax.process_count()
+
+        def write():
+            p = Path(path)
+            p.mkdir(parents=True, exist_ok=True)
+            for prefix, pieces in (("model", model_pieces),
+                                   ("optim", optim_pieces)):
+                if pieces is None:
+                    continue
+                tmp = p / f".tmp.{prefix}.shard{rank}.npz"
+                np.savez(tmp, **pieces)
+                tmp.replace(p / f"{prefix}.shard{rank}.npz")
+            if master:
+                index: dict[str, Any] = {"n_processes": n_proc,
+                                         "model": model_meta}
+                if optim_meta is not None:
+                    index["optim"] = optim_meta
+                with open(p / "index.json", "w") as f:
+                    json.dump(index, f)
+                with open(p / "training.json", "w") as f:
+                    json.dump(training, f)
+                if model_config is not None:
+                    with open(p / "params.json", "w") as f:
+                        json.dump(json_serializable(model_config), f)
+                if eval_flag:
+                    (p / f"eval_{eval_flag}").touch()
 
         self.process = self._executor.submit(write)
 

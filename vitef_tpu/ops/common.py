@@ -18,21 +18,32 @@ def best_precision(*operands):
     return jax.lax.Precision.DEFAULT
 
 
-def resolve_impl(impl: str, *, seq_len: int | None = None,
+def resolve_impl(impl: str, *, seq_len: int | None = None, dtype=None,
                  pallas_min_seq: int = 512) -> str:
     """Resolve 'auto' to the fastest implementation for the situation.
 
-    Measured on v5e (ViT-B/16, batch 256, bf16): XLA's fused attention/norm
-    beats separate Pallas calls at ViT sequence lengths (XLA fuses the
-    surrounding elementwise work; a pallas_call is a fusion barrier), while the
-    flash kernel wins once the O(L²) score tensor XLA materializes stops
-    fitting cache-friendly shapes — so 'auto' picks Pallas attention only for
-    long sequences (L ≥ ``pallas_min_seq``, e.g. GPT2's 1024) on TPU, XLA
-    otherwise. Both implementations are always available explicitly.
+    Measured on v5e (ViT-B/16, batch 256):
+
+    - bf16 attention: the packed fused MHA kernel (ops/attention.py) wins at
+      EVERY length — at L=197 it took the end-to-end train step from 344 to
+      240 ms (packed fwd 3.1 ms + bwd 2.3 ms per layer vs XLA's ~13 ms core
+      plus ~7 ms of head-split/merge copies and softmax HBM passes). The
+      blocked flash kernel also won at L >= 1024 (+24%/+55%).
+    - fp32 attention stays on XLA below ``pallas_min_seq``: fp32 is the
+      golden-parity/analysis path, where XLA's HIGHEST-precision einsums are
+      the reference semantics (Mosaic f32 matmul passes differ); the L**2
+      materialization only starts losing at long L.
+    - norms (no seq_len passed): XLA fuses the surrounding elementwise work;
+      a standalone pallas_call is a fusion barrier and measured slower.
+
+    Both implementations are always available explicitly.
     """
     if impl == "auto":
         if jax.default_backend() != "tpu":
             return "xla"
+        if seq_len is not None and dtype is not None \
+                and jnp.dtype(dtype) == jnp.bfloat16:
+            return "pallas"
         if seq_len is not None and seq_len >= pallas_min_seq:
             return "pallas"
         return "xla"

@@ -181,14 +181,21 @@ def trainable_mask(params, components: list[str]) -> Any:
 
     def leaf_mask(path, _leaf):
         name = _path_str(path)
-        if "running_" in name:  # batch-norm statistics are state, not params
-            return False
+        if name.rpartition(".")[2].startswith("running_"):
+            return False  # batch-norm statistics are state, not params
         if freeze_embedding and name.startswith("embedding."):
             return False
-        if any(name.startswith(t) for t in emb_targets):
+        if any(name == t or name.startswith(t + ".") for t in emb_targets):
             return False
-        if name.startswith("blocks.") and any(t in name for t in block_targets):
-            return False
+        if name.startswith("blocks."):
+            # Path-segment matching within the block: 'blocks.<i>.<rest>'
+            # where <rest> must START WITH the target as whole dotted
+            # segments — substring matching would silently freeze the wrong
+            # leaves one rename away (e.g. a future 'cross_attn_norm' would
+            # match 'attn_norm' as a substring).
+            rest = name.split(".", 2)[2] if name.count(".") >= 2 else ""
+            if any(rest == t or rest.startswith(t + ".") for t in block_targets):
+                return False
         return True
 
     return jax.tree_util.tree_map_with_path(leaf_mask, params)

@@ -62,6 +62,8 @@ def make_train_step(
     base_lr: float = 0.0,
     trainable: Any = None,
     donate: bool = True,
+    update_stats: bool = False,
+    stats_momentum: float = 0.1,
 ):
     """Build the jitted train step ``(state, batch, rng) -> (state, metrics)``.
 
@@ -70,21 +72,35 @@ def make_train_step(
     gradients (reference loss/grad_acc scaling, train.py:263-274). ``trainable``
     is the bool mask used only for the logged grad_norm (clip itself lives in
     ``tx``), matching clip_grad_norm_ over requires_grad params (train.py:278).
+
+    ``update_stats=True`` (batch-norm models, e.g. PatchTST) makes the step
+    update the running statistics like nn.BatchNorm1d (momentum=0.1, reference
+    transformer/utils.py:184-230): each train-mode forward yields batch stats
+    (``apply_fn(..., return_stats=True)``), the EMA chains across grad-acc
+    microbatches (per-forward updates, like the reference's per-microbatch
+    forward passes), and the result is written back into ``state.params``.
     """
+    from ..models.norms import ema_update_stats, extract_running_stats, \
+        merge_running_stats
     from ..optim import global_grad_norm
 
     def loss_of(params, x, y, rng):
         # Train mode unconditionally (deterministic=False): batch norm must use
         # batch statistics even when no rng is passed (rng only gates dropout,
         # and all dropout applications guard on rate > 0).
+        if update_stats:
+            logits, stats = apply_fn(params, x, deterministic=False, rng=rng,
+                                     return_stats=True)
+            return loss_fn(logits, y), stats
         logits = apply_fn(params, x, deterministic=False, rng=rng)
-        return loss_fn(logits, y)
+        return loss_fn(logits, y), {}
 
-    grad_fn = jax.value_and_grad(loss_of)
+    grad_fn = jax.value_and_grad(loss_of, has_aux=True)
 
-    def compute_grads(params, x, y, rng):
+    def compute_grads(params, running, x, y, rng):
         if grad_acc_steps == 1:
-            return grad_fn(params, x, y, rng)
+            (loss, stats), grads = grad_fn(params, x, y, rng)
+            return loss, grads, ema_update_stats(running, stats, stats_momentum)
         micro = x.shape[0] // grad_acc_steps
         xs = x.reshape(grad_acc_steps, micro, *x.shape[1:])
         ys = y.reshape(grad_acc_steps, micro, *y.shape[1:])
@@ -94,25 +110,32 @@ def make_train_step(
         )
 
         def body(carry, inp):
-            loss_acc, grads_acc = carry
+            loss_acc, grads_acc, run = carry
             xi, yi, ri = inp
-            loss, grads = grad_fn(params, xi, yi, ri if rng is not None else None)
+            (loss, stats), grads = grad_fn(params, xi, yi,
+                                           ri if rng is not None else None)
             grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
-            return (loss_acc + loss, grads_acc), None
+            run = ema_update_stats(run, stats, stats_momentum)
+            return (loss_acc + loss, grads_acc, run), None
 
         zero = jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32), params)
-        (loss_sum, grads_sum), _ = jax.lax.scan(
-            body, (jnp.zeros(()), zero), (xs, ys, rngs)
+        run0 = jax.tree.map(lambda s: s.astype(jnp.float32), running)
+        (loss_sum, grads_sum, running), _ = jax.lax.scan(
+            body, (jnp.zeros(()), zero, run0), (xs, ys, rngs)
         )
         scale = 1.0 / grad_acc_steps
-        return loss_sum * scale, jax.tree.map(lambda g: g * scale, grads_sum)
+        return loss_sum * scale, jax.tree.map(lambda g: g * scale, grads_sum), \
+            running
 
     def train_step(state: TrainState, batch, rng=None):
         x, y = batch
-        loss, grads = compute_grads(state.params, x, y, rng)
+        running = extract_running_stats(state.params) if update_stats else {}
+        loss, grads, running = compute_grads(state.params, running, x, y, rng)
         grad_norm = global_grad_norm(grads, trainable)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        if update_stats:
+            params = merge_running_stats(params, running)
         step = state.step + 1
         metrics = {"loss": loss, "grad_norm": grad_norm}
         if schedule is not None:
