@@ -359,3 +359,53 @@ class TestPostNormBatchNorm:
             np.testing.assert_allclose(
                 np.asarray(site["running_var"]),
                 ref_sd[f"{prefix}.running_var"], atol=1e-5, rtol=1e-4)
+
+
+@pytest.mark.slow
+class TestFullSizeViTB:
+    """Full-size ViT-B/16@224 fp32 parity vs the torch oracle (VERDICT.md #5;
+    SURVEY §4b names the 1e-3 tolerance). Shared random weights; forward
+    logits, get_decomposition and get_probes — the paper statistic's whole
+    surface at real scale (reference architecture.py:824-911)."""
+
+    KW = dict(
+        image_dim=(3, 224, 224), patch_type="computer_vision",
+        image_patch="hybrid", patch_size=16, emb_type="linear", emb_dim=768,
+        n_heads=12, n_layers=12, ffn_dim=3072, pos_emb=True, emb_dropout=0.0,
+        attn_bias=True, attn_dropout=0.0, flash=False, causal=False,
+        activation="gelu", ffn_bias=True, ffn_dropout=0.0, norm="layer",
+        norm_bias=True, norm_eps=1e-12, pre_norm=True, cls_token=True,
+        output_type="classification", weight_tying=False, output_dropout=0.0,
+        n_classes=1000,
+    )
+
+    def test_full_size_parity(self, reference_vitef):
+        import torch
+
+        ref_model, _ = make_ref_model(reference_vitef, **self.KW)
+        params = to_jax(ref_model, 12)
+        cfg = my_config(**self.KW)
+        x = np.random.default_rng(0).normal(size=(2, 3, 224, 224)).astype(np.float32)
+
+        with torch.inference_mode():
+            ref_logits = ref_model(torch.from_numpy(x)).numpy()
+            ref_dec = {k: v.numpy() for k, v in
+                       ref_model.get_decomposition(torch.from_numpy(x)).items()}
+            ref_probes = {k: v.numpy() for k, v in
+                          ref_model.get_probes(torch.from_numpy(x)).items()}
+
+        xj = jnp.asarray(x)
+        logits = np.asarray(apply_transformer(params, cfg, xj))
+        np.testing.assert_allclose(logits, ref_logits, atol=1e-3, rtol=1e-3)
+
+        dec = get_decomposition(params, cfg, xj)
+        assert set(dec) == set(ref_dec)
+        for k in ref_dec:
+            np.testing.assert_allclose(np.asarray(dec[k]), ref_dec[k],
+                                       atol=1e-3, rtol=1e-3, err_msg=k)
+
+        probes = get_probes(params, cfg, xj)
+        assert set(probes) == set(ref_probes)
+        for k in ref_probes:
+            np.testing.assert_allclose(np.asarray(probes[k]), ref_probes[k],
+                                       atol=1e-3, rtol=1e-3, err_msg=k)
