@@ -172,7 +172,11 @@ def train(config: TrainingConfig) -> None:
                 "finetuning": True,
                 "n_classes": n_classes,
                 "compute_dtype": config.compute_dtype,
-                "attn_impl": config.attn_impl,
+                # The packed MHA kernel has no SPMD partitioning rule yet:
+                # on a >1-device mesh, 'auto' must not pick it (PARITY.md
+                # "known gaps"); XLA attention shards cleanly under pjit.
+                "attn_impl": ("xla" if config.attn_impl == "auto" and mesh.size > 1
+                              else config.attn_impl),
                 "norm_impl": config.norm_impl,
                 "remat": config.remat,
             },
