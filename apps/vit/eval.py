@@ -33,26 +33,11 @@ from .utils import EvalState
 logger = logging.getLogger("vitef")
 
 
-def _cached_eval_step(apply_fn):
-    """One jitted eval step per model: model.apply is a fresh bound-method
-    object on every attribute access, so an unconditional make_eval_step would
-    recompile the full forward at every eval period. The cache lives ON the
-    owning object (dies with the model — no module-level retention)."""
-    owner = getattr(apply_fn, "__self__", None)
-    if owner is None:
-        return make_eval_step(apply_fn)
-    step = getattr(owner, "_cached_eval_step", None)
-    if step is None:
-        step = make_eval_step(apply_fn)
-        try:
-            owner._cached_eval_step = step
-        except (AttributeError, TypeError):  # frozen/slotted owner
-            pass
-    return step
-
-
-def run_evaluation(apply_fn, params, loader, mesh=None) -> dict[str, Any]:
+def run_evaluation(model, params, loader, mesh=None) -> dict[str, Any]:
     """Mean-of-batch-means accuracy and loss (reference eval.py:45-89).
+
+    ``model`` is the Model bundle — its ``eval_step`` cached_property holds
+    the one compiled step per model, so periodic eval never recompiles.
 
     Multi-host: the validation loader is deliberately UNsharded (every host
     iterates the identical full set so best-checkpoint decisions agree), so
@@ -63,7 +48,8 @@ def run_evaluation(apply_fn, params, loader, mesh=None) -> dict[str, Any]:
     from jax.sharding import NamedSharding, PartitionSpec
 
     state = EvalState()
-    eval_step = _cached_eval_step(apply_fn)
+    eval_step = model.eval_step if hasattr(model, "eval_step") \
+        else make_eval_step(model)
     replicate = mesh is not None and jax.process_count() > 1
     for x_batch, y_batch in loader:
         if replicate:
@@ -147,7 +133,7 @@ def eval(config: EvaluationConfig) -> dict[str, Any]:
         # Load only the model entry from the checkpoint (reference eval.py:189-191)
         params = load_checkpoint_params(checkpoint_dir, model.params)
 
-        metrics = run_evaluation(model.apply, params, test_loader)
+        metrics = run_evaluation(model, params, test_loader)
         metric_logger({"test_acc": metrics["eval_acc"]})
         logger.info(f"Test accuracy: {metrics['eval_acc'] * 100:.2f}%")
 

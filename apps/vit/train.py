@@ -296,7 +296,7 @@ def train(config: TrainingConfig) -> None:
             if (eval_period > 0) and (step % eval_period == 0):
                 logger.info(f"Evaluation at step {step}.")
                 metrics = run_evaluation(
-                    model.apply, state_box["state"].params, val_loader, mesh=mesh
+                    model, state_box["state"].params, val_loader, mesh=mesh
                 )
                 metrics |= {"step": step}
                 metric_logger(metrics)

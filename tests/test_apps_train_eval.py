@@ -159,3 +159,37 @@ def test_train_bitwise_reproducible(env):
     assert set(model_a) == set(model_b)
     for k in model_a:
         np.testing.assert_array_equal(model_a[k], model_b[k], err_msg=k)
+
+
+def test_run_evaluation_partial_final_batch(env):
+    """drop_last=False remainder batch: accuracy is the mean of BATCH means
+    with the partial batch weighted like a full one — the reference's
+    mean-of-batch-means semantics (eval.py:79-87), exercised end-to-end."""
+    import jax
+    import jax.numpy as jnp
+
+    from apps.vit.eval import run_evaluation
+    from vitef_tpu.data.images.datasets import SyntheticDataset, SyntheticDatasetConfig
+    from vitef_tpu.data.images.loader import Loader
+    from vitef_tpu.models import build_model
+
+    model = build_model(
+        {"implementation": "vit", "model_name": "tiny", "patch_size": 16,
+         "image_dim": (3, 32, 32), "pretrained": False, "finetuning": True,
+         "n_classes": 10, "attn_impl": "xla", "norm_impl": "xla"},
+        key=jax.random.key(0),
+    )
+    ds = SyntheticDataset(SyntheticDatasetConfig(mode="test", n_samples=10))
+    loader = Loader(ds, batch_size=4, size=32, mode="test", shuffle=False,
+                    drop_last=False, num_workers=0, prefetch=0)
+    metrics = run_evaluation(model, model.params, loader)
+
+    # expected: mean over the 3 batch means (4, 4, and 2 samples)
+    batch_accs = []
+    for xb, yb in loader:
+        logits = model.apply(model.params, xb)
+        batch_accs.append(float(jnp.mean(
+            (jnp.argmax(logits, -1) == yb).astype(jnp.float32))))
+    assert len(batch_accs) == 3
+    expected = sum(batch_accs) / 3
+    assert abs(metrics["eval_acc"] - expected) < 1e-6

@@ -9,6 +9,7 @@ placement is driven by shardings at the call site).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from dataclasses import dataclass
 from typing import Any
 
@@ -29,6 +30,19 @@ class Model:
 
     def apply(self, params, x, **kw):
         return T.apply_transformer(params, self.config, x, **kw)
+
+    @functools.cached_property
+    def eval_step(self):
+        """Jitted ``(params, (x, y)) -> (batch_acc, batch_loss)`` eval step.
+
+        cached_property so periodic eval reuses ONE compiled step per model
+        (``model.apply`` is a fresh bound-method object on every attribute
+        access — jitting it anew each eval period would recompile the full
+        forward). Dies with the model instance; no module-level retention.
+        """
+        from ..parallel.train_step import make_eval_step
+
+        return make_eval_step(self.apply)
 
     def get_decomposition(self, params, x):
         return T.get_decomposition(params, self.config, x)
