@@ -148,39 +148,65 @@ def table_results(dataset_names: list, seeds: list) -> dict:
     return {"acc_mean": acc_mean, "acc_std": acc_std}
 
 
-def get_adamw_robustness_training_domainnet_sketch(save: bool = False,
-                                                   seed: int = 0) -> None:
-    """AdamW grad-norm/val-acc evolution on DomainNet-Sketch (reference :395-674)."""
+RANK_ORDERED = ["mha", "ffn_fc1", "ffn_fc2", "ffn_norm", "attn_norm"]
+
+
+def get_adamw_robustness_training_domainnet_sketch(
+        save: bool = False, seed: int = 0,
+        dataset_name: str = "domainnet_sketch") -> None:
+    """DomainNet-Sketch AdamW highlight, the reference's 3-panel template
+    (ablation.py:395-674): AdamW-vs-SGD accuracy boxplot per component
+    (plasticity-rank order), then grad-norm and validation-loss evolution of
+    the lr=1e-4 AdamW run. Saved as adamw_sgd_robustness_domainnet_sketch.pdf
+    (reference :667-668)."""
     set_style()
     import matplotlib.pyplot as plt
+    import seaborn as sns
 
-    dataset_name = "domainnet_sketch"
-    lrs = ADAM_LR_VALUES[dataset_name]
-    runs = get_runs(dataset_name, [seed], lrs)
-    fig, axes = plt.subplots(2, len(lrs), figsize=(4 * len(lrs), 8),
-                             squeeze=False)
-    for j, lr in enumerate(lrs):
-        ax_g, ax_a = axes[0][j], axes[1][j]
-        for comp_key, comp_runs in runs[lr].items():
-            if comp_key == "all":
-                color, label = "tab:red", "All"
-            else:
-                label = VIT_COMPONENTS_MAP[comp_key]
-                color = COLORS[label]
-            r = comp_runs[seed]
-            ax_g.plot(r["train_steps"], r["grad_norm"], color=color,
-                      label=label, lw=1.5)
-            ax_a.plot(r["val_steps"], np.asarray(r["val_acc"]) * 100,
-                      color=color, label=label, lw=1.5)
-        ax_g.set_yscale("log")
-        ax_g.set_title(f"lr = {lr}")
-        ax_g.set_ylabel("Gradient Norm", fontsize=FONTSIZE)
-        ax_a.set_xlabel("Step", fontsize=FONTSIZE)
-        ax_a.set_ylabel(r"Val. Accuracy ($\%$)", fontsize=FONTSIZE)
-    axes[0][0].legend(fontsize=10, ncol=2)
+    fig, axes = plt.subplots(ncols=3, figsize=(12, 10 / 3))
+
+    # Panel 1: AdamW vs SGD boxplot over the lr sweeps (seed 0)
+    rows = []
+    for opt, data, lrs in (
+        ("Adam", get_data(dataset_name, "ablation/finetuning"),
+         ADAM_LR_VALUES[dataset_name]),
+        ("SGD", get_data(dataset_name, "finetuning"), LR_VALUES[dataset_name]),
+    ):
+        for comp in RANK_ORDERED:
+            sel = data[(data["seed"] == seed)
+                       & (data["trainable_components"] == comp)
+                       & (data["lr"].isin([float(lr) for lr in lrs]))]
+            for acc in sel["test_acc"]:
+                rows.append({"": VIT_COMPONENTS_MAP[comp],
+                             "Accuracy (%)": acc * 100, "opt": opt})
+    df = pd.DataFrame(rows)
+    sns.boxplot(data=df, x="", y="Accuracy (%)", hue="opt", ax=axes[0],
+                showfliers=False)
+    axes[0].set_xticks(range(5))
+    axes[0].set_xticklabels(range(1, 6))
+    axes[0].set_xlabel(r"Plasticity Rank ($\downarrow$)", fontsize=FONTSIZE)
+    axes[0].set_ylabel(r"Accuracy ($\%$)", fontsize=FONTSIZE)
+
+    # Panels 2-3: grad-norm + validation loss of the lr = 1e-2/100 AdamW run
+    lr = f"{float('1e-2') / 100:.2e}"
+    runs = get_runs(dataset_name, [seed], [lr])
+    for ax, (ykey, xkey, ylabel) in zip(axes[1:], [
+        ("grad_norm", "train_steps", "Gradient Norm"),
+        ("val_loss", "val_steps", "Validation Loss"),
+    ]):
+        for comp in RANK_ORDERED:
+            r = runs[lr][comp][seed]
+            label = VIT_COMPONENTS_MAP[comp]
+            ax.plot(r[xkey], r[ykey], color=COLORS[label], lw=1.0, label=label)
+        ax.set_xlabel("Training Steps", fontsize=FONTSIZE)
+        ax.set_ylabel(ylabel, fontsize=FONTSIZE)
+
+    lines, labels = axes[1].get_legend_handles_labels()
+    fig.legend(lines, labels, loc="upper center", bbox_to_anchor=(0.5, 1.1),
+               ncol=6, frameon=True, handlelength=1.9, fontsize=FONTSIZE)
     plt.tight_layout()
     if save:
-        save_plot("adamw_robustness_training_domainnet_sketch",
+        save_plot(f"adamw_sgd_robustness_{dataset_name}",
                   subdir="ablation/finetuning")
     plt.close(fig)
 

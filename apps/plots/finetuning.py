@@ -531,11 +531,57 @@ def get_training_evolution(dataset_name: str, seed: int, save: bool = False,
     plt.close(fig)
 
 
-def get_robustness_training_domainnet_sketch(save: bool = False) -> None:
-    """Training-evolution figure for the paper's DomainNet-Sketch highlight
-    (reference :1224-1290)."""
-    for seed in DEFAULT_SEEDS:
-        get_training_evolution("domainnet_sketch", seed, save=save)
+def get_robustness_training_domainnet_sketch(save: bool = False,
+                                             seed: int = 42,
+                                             lr: str = "1e-2",
+                                             dataset_name: str = "domainnet_sketch",
+                                             ) -> None:
+    """The paper's DomainNet-Sketch highlight: a 3-panel figure — accuracy
+    boxplot over (lr x seed) per component ordered by plasticity rank,
+    grad-norm evolution, and validation-loss evolution for the best run
+    (seed 42, lr 1e-2) — saved as robustness_training_domainnet_sketch.pdf
+    (reference :1224-1452)."""
+    set_style()
+    import matplotlib.pyplot as plt
+    import seaborn as sns
+
+    fig, axes = plt.subplots(ncols=3, figsize=(12, 10 / 3))
+    comps, palette = _rank_palette()
+
+    # Panel 1: robustness boxplot over all seeds and learning rates
+    data = get_data(dataset_name, folder="finetuning")
+    xs, ys = [], []
+    for comp in RANK_ORDERED:
+        sel = data[data["trainable_components"] == comp]
+        for acc in sel["test_acc"]:
+            xs.append(VIT_COMPONENTS_MAP[comp])
+            ys.append(acc * 100)
+    sns.boxplot(x=xs, y=ys, hue=xs, palette=palette, legend=False,
+                showfliers=False, ax=axes[0])
+    _style_rank_axis(axes[0])
+    axes[0].set_ylabel(r"Accuracy ($\%$)", fontsize=FONTSIZE)
+
+    # Panels 2-3: grad-norm + validation loss of the highlighted run
+    all_runs = get_runs(dataset_name, seeds=[seed], lrs=[lr])
+    for ax, (ykey, xkey, ylabel) in zip(axes[1:], [
+        ("grad_norm", "train_steps", "Gradient Norm"),
+        ("val_loss", "val_steps", "Validation Loss"),
+    ]):
+        for comp in RANK_ORDERED:
+            run = all_runs[lr][comp][seed]
+            ax.plot(run[xkey], run[ykey], color=COLORS[VIT_COMPONENTS_MAP[comp]],
+                    lw=1.0, label=VIT_COMPONENTS_MAP[comp])
+        ax.grid(alpha=ALPHA_GRID, lw=1.3)
+        ax.set_xlabel("Training Steps", fontsize=FONTSIZE)
+        ax.set_ylabel(ylabel, fontsize=FONTSIZE)
+
+    lines, labels = axes[1].get_legend_handles_labels()
+    fig.legend(lines, labels, loc="upper center", bbox_to_anchor=(0.5, 1.1),
+               ncol=6, frameon=True, handlelength=1.9, fontsize=FONTSIZE)
+    plt.tight_layout()
+    if save:
+        save_plot(f"robustness_training_{dataset_name}", subdir="finetuning")
+    plt.close(fig)
 
 
 # ----------------------------------------------------------------------------

@@ -310,6 +310,63 @@ def get_results(trainable_component: str = "mha", block: int = 0,
     plt.close(fig)
 
 
+def save_results(dataset_name: str = "cifar10", batch_size: int = 4,
+                 n_steps: int = 20, lr: float = 1e-3, resolution: int = 20,
+                 grid_range: float = 0.5, block: int = 0) -> None:
+    """The reference's `save` command (loss_landscape.py:267-288): compute
+    surfaces for ln1 / fc1 / mha at block 0 with the paper's settings."""
+    for trainable_component in ["ln1", "fc1", "mha"]:
+        get_analysis(
+            dataset_name=dataset_name, batch_size=batch_size,
+            trainable_component=trainable_component, block=block,
+            n_steps=n_steps, lr=lr, resolution=resolution,
+            grid_range=grid_range,
+        )
+
+
+def plot_figures(save: bool = True, block: int = 0) -> None:
+    """The paper's combined figure (reference get_results :290-490, saved as
+    loss_landscape.pdf): row 1 = 3-D rate-of-change surfaces for LN1 vs MHA
+    (normalized by the shared max), row 2 = loss contours with the SGD
+    trajectory overlaid."""
+    from .common import set_style
+
+    set_style()
+    import matplotlib.pyplot as plt
+
+    ln1 = _load_surfaces("ln1", block)
+    mha = _load_surfaces("mha", block)
+    row1_max = max(np.asarray(ln1["func"]).max(), np.asarray(mha["func"]).max())
+
+    fig = plt.figure(figsize=(8, 8))
+    for col, (name, data) in enumerate([("LN1", ln1), ("MHA", mha)]):
+        U, V = np.meshgrid(data["u_coords"], data["v_coords"])
+        ax3d = fig.add_subplot(2, 2, 1 + col, projection="3d")
+        ax3d.plot_surface(U, V, np.asarray(data["func"]) / row1_max,
+                          cmap="viridis", linewidth=0)
+        ax3d.set_title(name)
+        ax3d.set_zlim(0, 1)
+
+        ax = fig.add_subplot(2, 2, 3 + col)
+        cs = ax.contourf(data["u_coords"], data["v_coords"],
+                         np.asarray(data["loss"]), levels=30, cmap="viridis")
+        traj = np.asarray(data["traj"])
+        if len(traj):
+            ax.plot(traj[:, 0], traj[:, 1], "w.-", lw=1.5, markersize=4,
+                    label="SGD trajectory")
+            leg = ax.legend(fontsize=9, frameon=False)
+            for text in leg.get_texts():
+                text.set_color("white")
+        if col == 0:
+            ax.set_ylabel("Loss Landscape")
+        else:
+            fig.colorbar(cs, ax=ax)
+    plt.tight_layout()
+    if save:
+        save_plot("loss_landscape")
+    plt.close(fig)
+
+
 def get_frames(trainable_component: str = "mha", block: int = 0,
                n_frames: int = 12) -> list:
     """Rotating 3-D surface frames (png) for gif assembly (reference :600+)."""
@@ -361,9 +418,12 @@ def main() -> None:
         format="%(asctime)s [%(levelname)s] %(filename)s:%(lineno)d - %(message)s",
         handlers=[logging.StreamHandler()],
     )
-    make_cli({"results": get_results, "plot": get_results,
-              "analysis": get_analysis, "latex": get_latex_frames,
-              "frames": get_frames, "gif": plot_gif})
+    # Reference CLI surface (loss_landscape.py:1041-1049): save/plot/latex/
+    # frames/gif; `results` and `analysis` kept as finer-grained extras.
+    make_cli({"save": save_results, "plot": plot_figures,
+              "results": get_results, "analysis": get_analysis,
+              "latex": get_latex_frames, "frames": get_frames,
+              "gif": plot_gif})
 
 
 if __name__ == "__main__":

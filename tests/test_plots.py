@@ -230,3 +230,15 @@ def test_theory_bounds_match_torch_oracle():
             comp += o_h * v_h * math.sqrt(
                 3 * seq_len + (12 * seq_len + 3) * r**4 * s_qk**2)
         assert np.allclose(mha[b], comp, rtol=1e-4), f"block {b}"
+
+
+def test_robustness_training_figure(plot_env):
+    """The paper's 3-panel highlight figure renders and saves under its
+    reference figname (reference finetuning.py:1224-1452)."""
+    import apps.plots.finetuning as ft
+
+    ft.get_evals_csv("cifar10", [0, 42, 3407], ft.LR_VALUES["cifar10"])
+    ft.get_robustness_training_domainnet_sketch(
+        save=True, seed=42, lr="1e-2", dataset_name="cifar10")
+    assert (plot_env / "figures" / "finetuning"
+            / "robustness_training_cifar10.pdf").exists()

@@ -116,3 +116,68 @@ def test_loss_landscape_tiny(tmp_path, monkeypatch):
     assert (tmp_path / "figures" / "loss_landscape" / "mha_block_0.pdf").exists()
     paths = ll.get_frames("mha", 0, n_frames=2)
     assert all(p.exists() for p in paths)
+
+
+def test_adamw_sgd_robustness_figure(ab_env, monkeypatch):
+    """AdamW-vs-SGD 3-panel figure renders under the reference figname
+    (reference ablation.py:395-674)."""
+    import apps.plots.ablation as ab
+
+    figures = {}
+
+    def save_plot(figname, subdir=None, format="pdf", dpi=100):
+        import matplotlib.pyplot as plt
+
+        p = ab_env / "figures" / (subdir or "")
+        p.mkdir(parents=True, exist_ok=True)
+        out = p / f"{figname}.{format}"
+        plt.savefig(out, format=format)
+        figures[figname] = out
+        return out
+
+    monkeypatch.setattr(ab, "save_plot", save_plot)
+    ab.get_evals_csv("cifar100", [0], ab.ADAM_LR_VALUES["cifar100"])
+    # synthesize the SGD-side csv the boxplot compares against
+    import pandas as pd
+
+    from apps.plots.common import LR_VALUES
+
+    rows = [{"seed": 0, "lr": float(lr), "trainable_components": comp,
+             "test_acc": 0.8}
+            for lr in LR_VALUES["cifar100"]
+            for comp in ["all", "attn_norm", "mha", "ffn_norm", "ffn_fc1",
+                         "ffn_fc2"]]
+    out = ab_env / "results" / "finetuning"
+    out.mkdir(parents=True, exist_ok=True)
+    pd.DataFrame(rows).to_csv(out / "cifar100.csv")
+
+    ab.get_adamw_robustness_training_domainnet_sketch(
+        save=True, seed=0, dataset_name="cifar100")
+    assert "adamw_sgd_robustness_cifar100" in figures
+
+
+def test_loss_landscape_paper_figure(tmp_path, monkeypatch):
+    """Combined LN1-vs-MHA loss_landscape.pdf renders from pickled surfaces
+    (reference loss_landscape.py:290-490)."""
+    import pickle
+
+    import apps.plots.loss_landscape as ll
+
+    save_dir = tmp_path / "landscape"
+    monkeypatch.setattr(ll, "SAVE_DIR", save_dir)
+    monkeypatch.setattr(ll, "FIGURE_DIR", tmp_path / "figures")
+    rng = np.random.default_rng(0)
+    for comp in ("ln1", "mha"):
+        d = save_dir / f"{comp}_block_0"
+        d.mkdir(parents=True)
+        res = 8
+        for name, obj in [("loss", rng.uniform(0, 1, (res, res))),
+                          ("func", rng.uniform(0, 2, (res, res))),
+                          ("u_coords", np.linspace(-1, 1, res)),
+                          ("v_coords", np.linspace(-1, 1, res)),
+                          ("traj", [(0.0, 0.0), (0.1, 0.05)])]:
+            with open(d / f"{name}.pkl", "wb") as f:
+                pickle.dump(obj, f)
+
+    ll.plot_figures(save=True)
+    assert (tmp_path / "figures" / "loss_landscape" / "loss_landscape.pdf").exists()
