@@ -312,13 +312,25 @@ class Loader:
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
         try:
+            # Device-side lookahead: enqueue the NEXT batch's H2D transfer +
+            # augment (all async jax dispatches) BEFORE yielding the current
+            # one, so the device input pipeline overlaps the train step that
+            # the consumer dispatches in between. This is what hides the
+            # per-dispatch latency the --pipeline benchmark exposed.
+            ready: list = []
+            done = False
             while True:
-                item = q.get()
-                if item is None:
+                while not done and len(ready) < 2:
+                    item = q.get()
+                    if item is None:
+                        done = True
+                        break
+                    if isinstance(item, BaseException):
+                        raise item
+                    ready.append(self._to_device(item))
+                if not ready:
                     break
-                if isinstance(item, BaseException):
-                    raise item
-                yield self._to_device(item)
+                yield ready.pop(0)
         finally:
             stop.set()
             thread.join(timeout=5)
