@@ -409,3 +409,22 @@ class TestFullSizeViTB:
         for k in ref_probes:
             np.testing.assert_allclose(np.asarray(probes[k]), ref_probes[k],
                                        atol=1e-3, rtol=1e-3, err_msg=k)
+
+
+def test_gelu_dtype_policy():
+    """'gelu' = exact erf in fp32 (torch parity); tanh approx in bf16 with a
+    delta below bf16 resolution (the measured v5e VPU win, PERF.md)."""
+    import torch
+
+    from vitef_tpu.models.transformer import get_activation
+
+    x32 = np.linspace(-6, 6, 4001, dtype=np.float32)
+    ours = np.asarray(get_activation("gelu")(jnp.asarray(x32)))
+    ref = torch.nn.functional.gelu(torch.from_numpy(x32)).numpy()
+    np.testing.assert_allclose(ours, ref, atol=1e-6, rtol=1e-6)
+
+    xb = jnp.asarray(x32, jnp.bfloat16)
+    approx = np.asarray(get_activation("gelu")(xb).astype(jnp.float32))
+    exact = np.asarray(get_activation("gelu_exact")(xb).astype(jnp.float32))
+    # tanh-vs-erf difference stays within a few bf16 ulps of the activation
+    assert float(np.max(np.abs(approx - exact))) < 0.04

@@ -269,8 +269,20 @@ def n_params(params) -> int:
 # ---------------------------------------------------------------------------
 
 
+def _gelu_dtype_aware(x):
+    """'gelu': exact erf in fp32 (torch F.gelu parity — golden/analysis paths),
+    tanh approximation in bf16. Measured on v5e: the erf is ~1.5 ms/layer of
+    serialized VPU work inside the fc1 fusion (fwd 5.05 -> 3.53 ms at bench
+    shapes); the tanh-erf delta (max ~3e-3 absolute) is below bf16's own
+    rounding, so the bf16 TRAINING path loses nothing. Force either with
+    activation='gelu_exact' / 'gelu_tanh'."""
+    return jax.nn.gelu(x, approximate=jnp.dtype(x.dtype) == jnp.bfloat16)
+
+
 _ACTIVATIONS = {
-    "gelu": lambda x: jax.nn.gelu(x, approximate=False),  # torch F.gelu = exact erf
+    "gelu": _gelu_dtype_aware,
+    "gelu_exact": lambda x: jax.nn.gelu(x, approximate=False),
+    "gelu_tanh": lambda x: jax.nn.gelu(x, approximate=True),
     "relu": jax.nn.relu,
     "silu": jax.nn.silu,
     "tanh": jnp.tanh,
@@ -377,6 +389,12 @@ def apply_ffn(params: dict, cfg: TransformerConfig, x, *,
     Kept as 3-D einsums: flattening to (N·L, ·) 2-D matmuls was A/B-measured
     7% slower end-to-end on v5e (reshapes add layout copies; the in-graph 3-D
     fusions already run at ~66 TF/s per the compiled HLO cycle estimates).
+
+    NOTE (measured dead end, v5e): wrapping the core in jax.checkpoint with
+    the dots-saveable policy (recompute gelu in backward instead of saving
+    both the pre-activation and the activation) is 16% SLOWER end-to-end
+    (898 vs 1065 img/s) — the fc1 fusion's cost is the serialized erf VPU
+    work, not the extra residual write, and the policy recomputes the erf.
     """
     cd = cfg.cdtype()
     act = get_activation(cfg.activation)
