@@ -300,3 +300,34 @@ def test_loader_sharding_equal_sizes_when_ragged():
     assert lens == [10, 10, 10, 10]  # equal — hosts stay in lockstep
     all_idx = np.concatenate(orders)
     assert len(set(all_idx.tolist())) == 40  # disjoint (2 trimmed)
+
+
+def test_loader_lookahead_yields_produced_batches_before_error():
+    """Producer failure surfaces AFTER every successfully produced batch is
+    delivered (FIFO semantics preserved by the device lookahead; code-review
+    r2 finding #3)."""
+    import pytest
+
+    from vitef_tpu.data.images.datasets import SyntheticDataset, SyntheticDatasetConfig
+    from vitef_tpu.data.images.loader import Loader
+
+    ds = SyntheticDataset(SyntheticDatasetConfig(mode="train", n_samples=32))
+    loader = Loader(ds, batch_size=4, size=32, mode="train", shuffle=False,
+                    num_workers=0, prefetch=2)
+
+    boom = RuntimeError("decode failed")
+    original = loader._assemble
+    calls = {"n": 0}
+
+    def flaky(idx):
+        calls["n"] += 1
+        if calls["n"] == 4:  # batches 1-3 fine, 4th explodes
+            raise boom
+        return original(idx)
+
+    loader._assemble = flaky
+    got = []
+    with pytest.raises(RuntimeError, match="decode failed"):
+        for batch in loader:
+            got.append(batch)
+    assert len(got) == 3  # every produced batch delivered first

@@ -2,6 +2,7 @@
 
 import json
 import os
+from pathlib import Path
 
 import jax
 import jax.numpy as jnp
@@ -150,7 +151,11 @@ def test_eval_orchestrator(saving_dir):
     })
     run_ckpts = saving_dir / "runs" / "exp2" / "checkpoints"
     for step in (3, 10):
-        (run_ckpts / f"{step:010d}").mkdir(parents=True)
+        d = run_ckpts / f"{step:010d}"
+        d.mkdir(parents=True)
+        # complete checkpoints (empty dirs are treated as mid-write junk)
+        np.savez(d / "model.npz", w=np.zeros(1))
+        (d / "training.json").write_text(json.dumps({"step": step}))
     orch = build_eval_orchestrator({"log_dir": "exp2"})
     assert orch["exp_config"]["x"] == 1
     assert orch["checkpoint_dir"].name == "0000000010"
@@ -246,3 +251,50 @@ def test_sharded_checkpoint_fsdp_roundtrip(tmp_path):
     np.testing.assert_array_equal(
         loaded["model"]["w"], np.asarray(params["w"]))
     assert any(k.startswith("momentum.") for k in loaded["optim"])
+
+
+def test_incomplete_checkpoints_ignored_and_collected(tmp_path):
+    """Mid-write/crash-junk dirs (no completeness marker) never shadow the
+    last good checkpoint and are GC'd once older than the newest complete
+    one (code-review r2 findings #1/#2)."""
+    from vitef_tpu.monitor import Checkpointer, CheckpointerConfig
+
+    ckpt_dir = tmp_path / "ckpt"
+    state = {"params": _params(), "step": 0}
+    cfg = CheckpointerConfig(period=1, n_kept=1, path=str(ckpt_dir))
+    ckpt = Checkpointer(cfg, get_state=lambda: {
+        "model": state["params"], "optim": None,
+        "training": {"step": state["step"]}})
+
+    state["step"] = ckpt.step = 5
+    ckpt.update()
+    ckpt._wait()
+    good = ckpt_dir / "0000000005"
+    assert Checkpointer.is_complete(good)
+
+    # crash junk: a newer dir with no completeness marker
+    junk_new = ckpt_dir / "0000000009"
+    junk_new.mkdir()
+    (junk_new / "model.shard0.npz").touch()
+    # and an older resurrected shard dir
+    junk_old = ckpt_dir / "0000000002"
+    junk_old.mkdir()
+    (junk_old / "model.shard1.npz").touch()
+
+    assert Path(Checkpointer.get_last_checkpoint_path(ckpt_dir)) == good
+
+    # GC: protects the good one, removes the OLD junk, leaves the newest dir
+    # alone (might be a save still in flight on another process)
+    ckpt._cleaning()
+    assert good.exists()
+    assert not junk_old.exists()
+    assert junk_new.exists()
+
+    # sharded-but-partial: index.json says 2 processes, only shard0 present
+    partial = ckpt_dir / "0000000007"
+    partial.mkdir()
+    (partial / "model.shard0.npz").touch()
+    (partial / "training.json").write_text("{}")
+    (partial / "index.json").write_text('{"n_processes": 2, "model": {}}')
+    assert not Checkpointer.is_complete(partial)
+    assert Path(Checkpointer.get_last_checkpoint_path(ckpt_dir)) == good

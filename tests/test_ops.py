@@ -204,22 +204,26 @@ class TestPackedMHA:
         np.testing.assert_allclose(np.asarray(gp), np.asarray(gr),
                                    atol=5e-5, rtol=1e-3)
 
-    def test_model_pallas_path_uses_packed(self):
-        """multi_head_attention(impl='pallas') at packed-eligible shapes matches
-        the xla path (interpret mode)."""
+    def test_model_pallas_path_dtype_gate(self):
+        """multi_head_attention(impl='pallas'): bf16 takes the packed kernel,
+        fp32 keeps the (round-1-validated) blocked flash path — both match the
+        xla path (interpret mode)."""
         from vitef_tpu.ops.attention import multi_head_attention
 
         rng = np.random.default_rng(9)
         n, l, e, heads = 2, 13, 24, 3
-        x = jnp.asarray(rng.normal(size=(n, l, e)), jnp.float32)
-        qkv_w = jnp.asarray(rng.normal(size=(e, 3 * e)) * 0.1, jnp.float32)
-        qkv_b = jnp.asarray(rng.normal(size=(3 * e,)) * 0.1, jnp.float32)
-        out_w = jnp.asarray(rng.normal(size=(e, e)) * 0.1, jnp.float32)
-        out_b = jnp.asarray(rng.normal(size=(e,)) * 0.1, jnp.float32)
-        ref = multi_head_attention(x, qkv_w, qkv_b, out_w, out_b,
-                                   n_heads=heads, impl="xla")
-        with pltpu.force_tpu_interpret_mode():
-            out = multi_head_attention(x, qkv_w, qkv_b, out_w, out_b,
-                                       n_heads=heads, impl="pallas")
-        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                                   atol=2e-5, rtol=1e-4)
+        arrs = [rng.normal(size=(n, l, e)),
+                rng.normal(size=(e, 3 * e)) * 0.1,
+                rng.normal(size=(3 * e,)) * 0.1,
+                rng.normal(size=(e, e)) * 0.1,
+                rng.normal(size=(e,)) * 0.1]
+        for dtype, atol in ((jnp.float32, 2e-5), (jnp.bfloat16, 3e-2)):
+            x, qkv_w, qkv_b, out_w, out_b = (jnp.asarray(a, dtype) for a in arrs)
+            ref = multi_head_attention(x, qkv_w, qkv_b, out_w, out_b,
+                                       n_heads=heads, impl="xla")
+            with pltpu.force_tpu_interpret_mode():
+                out = multi_head_attention(x, qkv_w, qkv_b, out_w, out_b,
+                                           n_heads=heads, impl="pallas")
+            np.testing.assert_allclose(
+                np.asarray(out.astype(jnp.float32)),
+                np.asarray(ref.astype(jnp.float32)), atol=atol, rtol=1e-2)

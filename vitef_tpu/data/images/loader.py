@@ -319,18 +319,26 @@ class Loader:
             # per-dispatch latency the --pipeline benchmark exposed.
             ready: list = []
             done = False
+            pending_exc: BaseException | None = None
             while True:
                 while not done and len(ready) < 2:
                     item = q.get()
                     if item is None:
                         done = True
-                        break
-                    if isinstance(item, BaseException):
-                        raise item
-                    ready.append(self._to_device(item))
-                if not ready:
-                    break
-                yield ready.pop(0)
+                    elif isinstance(item, BaseException):
+                        # Deliver every successfully produced batch before
+                        # surfacing the failure (FIFO semantics of the
+                        # pre-lookahead iterator).
+                        pending_exc = item
+                        done = True
+                    else:
+                        ready.append(self._to_device(item))
+                if ready:
+                    yield ready.pop(0)
+                    continue
+                if pending_exc is not None:
+                    raise pending_exc
+                break
         finally:
             stop.set()
             thread.join(timeout=5)

@@ -358,6 +358,13 @@ class Checkpointer:
         def write():
             p = Path(path)
             p.mkdir(parents=True, exist_ok=True)
+
+            def write_json(name: str, obj) -> None:
+                tmp = p / f".tmp.{name}"
+                with open(tmp, "w") as f:
+                    json.dump(obj, f)
+                tmp.replace(p / name)
+
             for prefix, pieces in (("model", model_pieces),
                                    ("optim", optim_pieces)):
                 if pieces is None:
@@ -366,25 +373,49 @@ class Checkpointer:
                 np.savez(tmp, **pieces)
                 tmp.replace(p / f"{prefix}.shard{rank}.npz")
             if master:
+                # index.json is written LAST (each file atomically via
+                # tmp+replace): its presence is the completeness marker —
+                # a crash mid-save leaves a dir that _is_complete() rejects
+                # and a later _cleaning removes, never a dir that shadows the
+                # last good checkpoint (the single-process writer gets the
+                # same guarantee from its whole-dir tmp+rename).
+                write_json("training.json", training)
+                if model_config is not None:
+                    write_json("params.json", json_serializable(model_config))
+                if eval_flag:
+                    (p / f"eval_{eval_flag}").touch()
                 index: dict[str, Any] = {"n_processes": n_proc,
                                          "model": model_meta}
                 if optim_meta is not None:
                     index["optim"] = optim_meta
-                with open(p / "index.json", "w") as f:
-                    json.dump(index, f)
-                with open(p / "training.json", "w") as f:
-                    json.dump(training, f)
-                if model_config is not None:
-                    with open(p / "params.json", "w") as f:
-                        json.dump(json_serializable(model_config), f)
-                if eval_flag:
-                    (p / f"eval_{eval_flag}").touch()
+                write_json("index.json", index)
 
         self.process = self._executor.submit(write)
 
     @classmethod
+    def is_complete(cls, path) -> bool:
+        """A checkpoint dir is complete iff its completeness marker exists:
+        ``model.npz`` (single-process whole-dir rename) or ``index.json``
+        (sharded path, written last) with every shard file present."""
+        path = Path(path)
+        if (path / "model.npz").exists():
+            return (path / "training.json").exists()
+        index_file = path / "index.json"
+        if not index_file.exists() or not (path / "training.json").exists():
+            return False
+        try:
+            with open(index_file) as f:
+                n = int(json.load(f)["n_processes"])
+        except (ValueError, KeyError, json.JSONDecodeError):
+            return False
+        return all((path / f"model.shard{r}.npz").exists() for r in range(n))
+
+    @classmethod
     def get_last_checkpoint_path(cls, path) -> str:
-        folders = cls._list_checkpoints(Path(path))
+        """Newest COMPLETE checkpoint — mid-write or crash-junk dirs (no
+        completeness marker yet) never shadow the last good one."""
+        folders = [p for p in cls._list_checkpoints(Path(path))
+                   if cls.is_complete(p)]
         if folders:
             return max(folders, key=lambda p: cls._get_key_step(p.name))
         return ""
@@ -395,13 +426,29 @@ class Checkpointer:
             self.process = None
 
     def _cleaning(self) -> None:
-        """Keep-last-n GC skipping eval-flagged dirs (checkpoint.py:247-256)."""
+        """Keep-last-n GC skipping eval-flagged dirs (checkpoint.py:247-256).
+
+        Only COMPLETE checkpoints count toward (and are protected by) the
+        keep window; incomplete dirs strictly older than the newest complete
+        one are crash junk or shards resurrected by a straggler process's
+        in-flight write after a previous GC — removed too (a straggler that
+        recreates one afterwards is re-collected at the next tick). Never
+        touches the newest dirs, which may legitimately still be mid-write
+        on other processes.
+        """
         if self.n_kept <= 0 or not is_master_process():
             return
         self._wait()
         all_checkpoints = self._list_checkpoints(self.path)
         all_checkpoints.sort(key=lambda p: self._get_key_step(p.name))
-        for prefix in all_checkpoints[: -self.n_kept]:
+        complete = [p for p in all_checkpoints if self.is_complete(p)]
+        removable = set(complete[: -self.n_kept])
+        if complete:
+            newest_complete = self._get_key_step(complete[-1].name)
+            removable |= {p for p in all_checkpoints
+                          if not self.is_complete(p)
+                          and self._get_key_step(p.name) < newest_complete}
+        for prefix in sorted(removable, key=lambda p: self._get_key_step(p.name)):
             if not any(prefix.glob("eval_*")):
                 logger.info(f"Removing: {str(prefix)}")
                 shutil.rmtree(prefix)

@@ -132,9 +132,13 @@ def build_eval_orchestrator(config: dict[str, Any]) -> dict[str, Any]:
     checkpoint_dir = Path(config_obj.log_dir / "checkpoints")
     step = config_obj.checkpoint_step
     if not step:
-        steps = sorted(p.name for p in checkpoint_dir.iterdir() if p.is_dir())
-        assert steps, f"no checkpoints in {checkpoint_dir}"
-        step = steps[-1]
+        from .checkpoint import Checkpointer
+
+        # Newest COMPLETE checkpoint: a dir still being written (or crash
+        # junk) must not be picked up by eval (checkpoint.py is_complete).
+        last = Checkpointer.get_last_checkpoint_path(checkpoint_dir)
+        assert last, f"no complete checkpoints in {checkpoint_dir}"
+        step = Path(last).name
     elif str(step).isdigit():
         # Normalize to the Checkpointer's {:010d} dir names so both
         # checkpoint_step=512 and checkpoint_step=0000000512 resolve.

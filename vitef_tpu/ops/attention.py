@@ -483,7 +483,12 @@ def multi_head_attention(x, qkv_w, qkv_b, out_w, out_b, *, n_heads: int,
 
     weights = None
     resolved = resolve_impl(impl, seq_len=l, dtype=cd) if not verbose else "xla"
-    if resolved == "pallas" and packed_mha_supported(l, e, jnp.dtype(cd).itemsize):
+    # Packed kernel is bf16-only: fp32 'pallas' (long-L analysis paths) keeps
+    # the blocked flash kernel whose numerics were validated in round 1 —
+    # Mosaic f32 matmul passes differ from XLA HIGHEST-precision semantics
+    # (CLAUDE.md fp32-parity invariant).
+    if resolved == "pallas" and jnp.dtype(cd) == jnp.bfloat16 \
+            and packed_mha_supported(l, e, jnp.dtype(cd).itemsize):
         # Packed fused path: no head split/transpose ever reaches HBM.
         z = fused_mha_packed(qkv, n_heads, causal=causal)
     else:
