@@ -428,3 +428,68 @@ def test_gelu_dtype_policy():
     exact = np.asarray(get_activation("gelu_exact")(xb).astype(jnp.float32))
     # tanh-vs-erf difference stays within a few bf16 ulps of the activation
     assert float(np.max(np.abs(approx - exact))) < 0.04
+
+
+def test_training_loss_curve_matches_torch(reference_vitef):
+    """Full training-loop parity: same init, same fixed fp32 batches, SGD
+    momentum + cosine schedule + global-norm clip in both frameworks — the
+    loss curves must coincide. This is the strongest offline end-to-end
+    gradient check (catches subtle backward/optimizer/schedule bugs that
+    single-step parity tests miss)."""
+    import torch
+
+    from vitef_tpu.optim import build_optimizer, build_scheduler
+    from vitef_tpu.parallel import init_train_state, make_train_step
+
+    kwargs = dict(VIT_LIKE)
+    ref_model, _ = make_ref_model(reference_vitef, **kwargs)
+    ref_model.train()
+    params = to_jax(ref_model, kwargs["n_layers"])
+    cfg = my_config(**kwargs)
+
+    n_steps, base_lr, warmup = 12, 0.05, 2
+    rng = np.random.default_rng(7)
+    batches = [
+        (rng.normal(size=(8, 3, 32, 32)).astype(np.float32),
+         rng.integers(0, 10, size=(8,)))
+        for _ in range(n_steps)
+    ]
+
+    # --- torch loop (mirrors reference apps/vit/train.py:243-283) ---
+    opt = torch.optim.SGD(ref_model.parameters(), lr=base_lr, momentum=0.9)
+    sched = torch.optim.lr_scheduler.LambdaLR(
+        opt, lambda step: min(1.0, (step + 1) / warmup) * 0.5 * (
+            1 + np.cos(np.pi * min(1.0, max(step + 1 - warmup, 0)
+                                   / max(n_steps - warmup, 1)))))
+    torch_losses = []
+    for x, y in batches:
+        opt.zero_grad()
+        logits = ref_model(torch.from_numpy(x))
+        loss = torch.nn.functional.cross_entropy(logits, torch.from_numpy(y))
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(ref_model.parameters(), 1.0)
+        opt.step()
+        sched.step()
+        torch_losses.append(float(loss))
+
+    # --- ours: one jitted step ---
+    def schedule(step):
+        s = jnp.asarray(step, jnp.float32)
+        wu = jnp.minimum(1.0, (s + 1) / warmup)
+        prog = jnp.minimum(1.0, jnp.maximum(s + 1 - warmup, 0)
+                           / max(n_steps - warmup, 1))
+        return wu * 0.5 * (1 + jnp.cos(jnp.pi * prog))
+
+    tx, _ = build_optimizer(
+        {"optimizer": "sgd", "lr": base_lr, "momentum": 0.9},
+        schedule=schedule, params=params, components=[], grad_clip=1.0,
+    )
+    step_fn = make_train_step(lambda p, xx, **kw: apply_transformer(
+        p, cfg, xx, **kw), tx, donate=False)
+    state = init_train_state(params, tx)
+    our_losses = []
+    for x, y in batches:
+        state, m = step_fn(state, (jnp.asarray(x), jnp.asarray(y)))
+        our_losses.append(float(m["loss"]))
+
+    np.testing.assert_allclose(our_losses, torch_losses, rtol=2e-4, atol=2e-5)
