@@ -227,3 +227,44 @@ class TestPackedMHA:
             np.testing.assert_allclose(
                 np.asarray(out.astype(jnp.float32)),
                 np.asarray(ref.astype(jnp.float32)), atol=atol, rtol=1e-2)
+
+
+class TestPackedMHABias:
+    """In-kernel qkv bias + accumulated bias gradient vs the XLA reference."""
+
+    def test_bias_fwd_and_grads(self):
+        from vitef_tpu.ops.attention import attention_reference, fused_mha_packed
+
+        n, h, l, d = 3, 2, 9, 8
+        e = h * d
+        rng = np.random.default_rng(11)
+        qkv = jnp.asarray(rng.normal(size=(n, l, 3 * e)) * 0.5, jnp.float32)
+        bias = jnp.asarray(rng.normal(size=(3 * e,)) * 0.3, jnp.float32)
+        g = jnp.asarray(rng.normal(size=(n, l, e)), jnp.float32)
+
+        def ref_fn(qkv, bias):
+            qb = qkv + bias
+            q, k, v = jnp.split(qb, 3, axis=-1)
+            q, k, v = (t.reshape(n, l, h, d).transpose(0, 2, 1, 3)
+                       for t in (q, k, v))
+            o = attention_reference(q, k, v)
+            return o.transpose(0, 2, 1, 3).reshape(n, l, e)
+
+        with pltpu.force_tpu_interpret_mode():
+            out = fused_mha_packed(qkv, h, bias=bias)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref_fn(qkv, bias)),
+                                   atol=2e-5, rtol=1e-4)
+
+        def loss_packed(qkv, bias):
+            return (fused_mha_packed(qkv, h, bias=bias) * g).sum()
+
+        def loss_ref(qkv, bias):
+            return (ref_fn(qkv, bias) * g).sum()
+
+        with pltpu.force_tpu_interpret_mode():
+            dq_p, db_p = jax.grad(loss_packed, argnums=(0, 1))(qkv, bias)
+        dq_r, db_r = jax.grad(loss_ref, argnums=(0, 1))(qkv, bias)
+        np.testing.assert_allclose(np.asarray(dq_p), np.asarray(dq_r),
+                                   atol=5e-5, rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(db_p), np.asarray(db_r),
+                                   atol=5e-5, rtol=1e-3)

@@ -85,8 +85,8 @@ def attention_reference(q, k, v, *, causal: bool = False, kv_len: int | None = N
 # B=256 H=12 L=197 D=64 — the d=64 MXU-padding floor is ~2.1 ms).
 
 
-def _packed_mha_fwd_kernel(qkv_ref, o_ref, *, scale, n_heads, d, causal):
-    qkv = qkv_ref[...]  # (L, 3E)
+def _packed_mha_fwd_kernel(qkv_ref, b_ref, o_ref, *, scale, n_heads, d, causal):
+    qkv = qkv_ref[...] + b_ref[...]  # (L, 3E); qkv bias folded in-kernel
     l = qkv.shape[0]
     e = n_heads * d
     mask = None
@@ -111,13 +111,19 @@ def _packed_mha_fwd_kernel(qkv_ref, o_ref, *, scale, n_heads, d, causal):
     o_ref[...] = jnp.concatenate(outs, axis=-1)
 
 
-def _packed_mha_bwd_kernel(qkv_ref, g_ref, dqkv_ref, *, scale, n_heads, d,
-                           causal):
+def _packed_mha_bwd_kernel(qkv_ref, b_ref, g_ref, dqkv_ref, db_ref, *,
+                           scale, n_heads, d, causal):
     """Packed backward: recompute per-head softmax from the VMEM-resident qkv
     slab (flash-style: no O(L^2) residual in HBM), then the standard algebra
     dv = p^T g, dp = g v^T, ds = p (dp - rowsum(p dp)) scale, dq = ds k,
-    dk = ds^T q — written back into the packed (L, 3E) gradient layout."""
-    qkv = qkv_ref[...]  # (L, 3E)
+    dk = ds^T q — written back into the packed (L, 3E) gradient layout.
+
+    The qkv-bias gradient (db = column sums of dqkv over the whole batch) is
+    accumulated in-kernel into a grid-revisited f32 block: doing it here is a
+    VMEM reduction over values the kernel just produced, vs a separate XLA
+    pass re-reading the full (N, L, 3E) cotangent from HBM (~4 ms/step on
+    the v5e trace)."""
+    qkv = qkv_ref[...] + b_ref[...]  # (L, 3E)
     g = g_ref[...]  # (L, E)
     l = qkv.shape[0]
     e = n_heads * d
@@ -154,10 +160,18 @@ def _packed_mha_bwd_kernel(qkv_ref, g_ref, dqkv_ref, *, scale, n_heads, d,
         dqs.append(dq.astype(dqkv_ref.dtype))
         dks.append(dk.astype(dqkv_ref.dtype))
         dvs.append(dv.astype(dqkv_ref.dtype))
-    dqkv_ref[...] = jnp.concatenate(dqs + dks + dvs, axis=-1)
+    dqkv = jnp.concatenate(dqs + dks + dvs, axis=-1)
+    dqkv_ref[...] = dqkv
+    partial_db = jnp.sum(dqkv.astype(jnp.float32), axis=0, keepdims=True)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        db_ref[...] = jnp.zeros_like(db_ref)
+
+    db_ref[...] += partial_db
 
 
-def _packed_call_fwd(qkv, n_heads, causal):
+def _packed_call_fwd(qkv, bias2d, n_heads, causal):
     n, l, f = qkv.shape
     e = f // 3
     d = e // n_heads
@@ -169,6 +183,8 @@ def _packed_call_fwd(qkv, n_heads, causal):
         kernel,
         grid=(n,),
         in_specs=[pl.BlockSpec((None, l, f), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, f), lambda b: (0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((None, l, e), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -180,20 +196,21 @@ def _packed_call_fwd(qkv, n_heads, causal):
             bytes_accessed=(f + e) * l * n * qkv.dtype.itemsize,
             transcendentals=n_heads * l * l * n,
         ),
-    )(qkv)
+    )(qkv, bias2d)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
-def _packed_mha(qkv, n_heads, causal):
-    return _packed_call_fwd(qkv, n_heads, causal)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _packed_mha(qkv, bias, n_heads, causal):
+    return _packed_call_fwd(qkv, bias.reshape(1, -1), n_heads, causal)
 
 
-def _packed_mha_fwd(qkv, n_heads, causal):
-    return _packed_call_fwd(qkv, n_heads, causal), (qkv,)
+def _packed_mha_fwd(qkv, bias, n_heads, causal):
+    out = _packed_call_fwd(qkv, bias.reshape(1, -1), n_heads, causal)
+    return out, (qkv, bias)
 
 
 def _packed_mha_bwd(n_heads, causal, residuals, g):
-    (qkv,) = residuals
+    qkv, bias = residuals
     n, l, f = qkv.shape
     e = f // 3
     d = e // n_heads
@@ -205,12 +222,14 @@ def _packed_mha_bwd(n_heads, causal, residuals, g):
                          memory_space=pltpu.VMEM)
     spec1 = pl.BlockSpec((None, l, e), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM)
-    dqkv = pl.pallas_call(
+    bspec = pl.BlockSpec((1, f), lambda b: (0, 0), memory_space=pltpu.VMEM)
+    dqkv, db = pl.pallas_call(
         kernel,
         grid=(n,),
-        in_specs=[spec3, spec1],
-        out_specs=spec3,
-        out_shape=jax.ShapeDtypeStruct((n, l, f), qkv.dtype),
+        in_specs=[spec3, bspec, spec1],
+        out_specs=(spec3, bspec),
+        out_shape=(jax.ShapeDtypeStruct((n, l, f), qkv.dtype),
+                   jax.ShapeDtypeStruct((1, f), jnp.float32)),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
@@ -218,8 +237,8 @@ def _packed_mha_bwd(n_heads, causal, residuals, g):
             bytes_accessed=2 * (f + e) * l * n * qkv.dtype.itemsize,
             transcendentals=n_heads * l * l * n,
         ),
-    )(qkv, g.astype(qkv.dtype))
-    return (dqkv,)
+    )(qkv, bias.reshape(1, -1), g.astype(qkv.dtype))
+    return dqkv, db.reshape(f).astype(bias.dtype)
 
 
 _packed_mha.defvjp(_packed_mha_fwd, _packed_mha_bwd)
@@ -234,14 +253,19 @@ def packed_mha_supported(l: int, e: int, itemsize: int = 2) -> bool:
     return per_program <= _PACKED_VMEM_BUDGET
 
 
-def fused_mha_packed(qkv, n_heads: int, causal: bool = False):
+def fused_mha_packed(qkv, n_heads: int, causal: bool = False, bias=None):
     """Fused softmax attention on packed qkv (N, L, 3E) -> (N, L, E).
 
     Head layout matches the torch fused-qkv Linear (reference
     architecture.py:172, :205-212): columns [q | k | v], head-major within
-    each. Differentiable via the packed backward kernel.
+    each. ``bias`` is the qkv Linear's bias, added in-kernel so its gradient
+    (column sums of the dqkv cotangent) accumulates inside the backward
+    kernel instead of a separate full-cotangent XLA reduce pass.
+    Differentiable via the packed backward kernel.
     """
-    return _packed_mha(qkv, n_heads, causal)
+    if bias is None:
+        bias = jnp.zeros((qkv.shape[-1],), qkv.dtype)
+    return _packed_mha(qkv, bias.astype(qkv.dtype), n_heads, causal)
 
 
 # ---------------------------------------------------------------------------
@@ -478,8 +502,6 @@ def multi_head_attention(x, qkv_w, qkv_b, out_w, out_b, *, n_heads: int,
     w = qkv_w.astype(cd)
     qkv = jnp.einsum("nle,ef->nlf", xc, w, precision=best_precision(xc, w),
                      preferred_element_type=cd)
-    if qkv_b is not None:
-        qkv = qkv + qkv_b.astype(cd)
 
     weights = None
     resolved = resolve_impl(impl, seq_len=l, dtype=cd) if not verbose else "xla"
@@ -489,9 +511,13 @@ def multi_head_attention(x, qkv_w, qkv_b, out_w, out_b, *, n_heads: int,
     # (CLAUDE.md fp32-parity invariant).
     if resolved == "pallas" and jnp.dtype(cd) == jnp.bfloat16 \
             and packed_mha_supported(l, e, jnp.dtype(cd).itemsize):
-        # Packed fused path: no head split/transpose ever reaches HBM.
-        z = fused_mha_packed(qkv, n_heads, causal=causal)
+        # Packed fused path: no head split/transpose ever reaches HBM; the
+        # qkv bias (and its gradient) lives inside the kernel.
+        z = fused_mha_packed(qkv, n_heads, causal=causal,
+                             bias=qkv_b.astype(cd) if qkv_b is not None else None)
     else:
+        if qkv_b is not None:
+            qkv = qkv + qkv_b.astype(cd)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         # (N, L, E) -> (N, h, L, d)
         q, k, v = (t.reshape(n, l, n_heads, d).transpose(0, 2, 1, 3)
