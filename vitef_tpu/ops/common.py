@@ -41,6 +41,13 @@ def resolve_impl(impl: str, *, seq_len: int | None = None, dtype=None,
     if impl == "auto":
         if jax.default_backend() != "tpu":
             return "xla"
+        if jax.device_count() > 1:
+            # A pallas_call has no SPMD partitioning rule: under a >1-device
+            # mesh XLA would run it replicated (gathering sharded operands).
+            # 'auto' therefore never picks it multi-device; per-process
+            # single-device setups (one chip per host process) still do.
+            # Explicit impl='pallas' remains available (e.g. under shard_map).
+            return "xla"
         if seq_len is not None and dtype is not None \
                 and jnp.dtype(dtype) == jnp.bfloat16:
             return "pallas"
