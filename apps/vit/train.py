@@ -137,6 +137,12 @@ def train(config: TrainingConfig) -> None:
 
         # -- mesh ----------------------------------------------------------
         mesh = build_mesh(dp=config.dp, tp=config.tp)
+        # Multi-chip execution path (PARITY.md round 2): dp-only meshes use
+        # the EXPLICIT shard_map train step so the packed bf16 MHA kernel can
+        # run per-device (no SPMD rule exists for a pallas_call); tp/fsdp
+        # meshes stay on pjit auto-sharding with XLA attention.
+        use_shard_map = (mesh.size > 1 and mesh.shape["tp"] == 1
+                         and not config.fsdp)
 
         # -- data ----------------------------------------------------------
         logger.info("Building dataloaders.")
@@ -172,11 +178,17 @@ def train(config: TrainingConfig) -> None:
                 "finetuning": True,
                 "n_classes": n_classes,
                 "compute_dtype": config.compute_dtype,
-                # The packed MHA kernel has no SPMD partitioning rule yet:
-                # on a >1-device mesh, 'auto' must not pick it (PARITY.md
-                # "known gaps"); XLA attention shards cleanly under pjit.
-                "attn_impl": ("xla" if config.attn_impl == "auto" and mesh.size > 1
-                              else config.attn_impl),
+                # Under the shard_map DP step the kernel runs per-device, so
+                # 'auto' may resolve to pallas (resolve_impl's own device_count
+                # guard would veto it at trace time — force it here for the
+                # TPU bf16 case). On pjit-sharded meshes 'auto' must become
+                # xla (a pallas_call has no SPMD partitioning rule).
+                "attn_impl": (
+                    "pallas" if config.attn_impl == "auto" and use_shard_map
+                    and jax.default_backend() == "tpu"
+                    and config.compute_dtype == "bfloat16"
+                    else "xla" if config.attn_impl == "auto" and mesh.size > 1
+                    else config.attn_impl),
                 "norm_impl": config.norm_impl,
                 "remat": config.remat,
             },
@@ -205,6 +217,7 @@ def train(config: TrainingConfig) -> None:
         step_fn = make_train_step(
             model.apply, tx, grad_acc_steps=config.grad_acc_steps,
             schedule=schedule, base_lr=config.lr, trainable=trainable,
+            mesh=mesh if use_shard_map else None,
         )
         state = init_train_state(params, tx)
         state_box = {"state": state}

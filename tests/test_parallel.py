@@ -192,3 +192,43 @@ def test_remat_forward_and_grads():
     assert np.allclose(float(l0), float(l1), atol=1e-6)
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_shard_map_dp_step_matches_pjit():
+    """Explicit shard_map DP step (mesh=...) == pjit auto-sharded step ==
+    the DDP semantics: loss pmean'd over shards, identical updated params.
+    This is the multi-chip path that keeps pallas kernels per-device
+    (PARITY.md round-2; reference DDP topology distributed.py:234-240)."""
+    cfg = tiny_vit_cfg()
+    params = init_transformer(jax.random.key(3), cfg)
+    batch = make_batch(16, cfg, seed=9)
+    apply_fn = lambda p, x, **kw: apply_transformer(p, cfg, x, **kw)
+    mesh = build_mesh(dp=8, tp=1)
+
+    def run(use_shard_map):
+        tx, _ = build_optimizer({"optimizer": "sgd", "lr": 0.05, "momentum": 0.9})
+        step_fn = make_train_step(apply_fn, tx, donate=False,
+                                  mesh=mesh if use_shard_map else None)
+        p = shard_params(params, mesh)
+        b = shard_batch(batch, mesh)
+        state = init_train_state(p, tx)
+        state, m = step_fn(state, b)
+        return jax.tree.leaves(state.params), float(m["loss"])
+
+    pjit_leaves, loss_pjit = run(False)
+    sm_leaves, loss_sm = run(True)
+    assert np.allclose(loss_pjit, loss_sm, atol=1e-5)
+    for a, b in zip(pjit_leaves, sm_leaves):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_shard_map_dp_rejects_tp_mesh():
+    import pytest
+
+    cfg = tiny_vit_cfg()
+    params = init_transformer(jax.random.key(3), cfg)
+    apply_fn = lambda p, x, **kw: apply_transformer(p, cfg, x, **kw)
+    mesh = build_mesh(dp=4, tp=2)
+    tx, _ = build_optimizer({"optimizer": "sgd", "lr": 0.05})
+    with pytest.raises(AssertionError, match="data-parallel only"):
+        make_train_step(apply_fn, tx, donate=False, mesh=mesh)

@@ -64,6 +64,7 @@ def make_train_step(
     donate: bool = True,
     update_stats: bool = False,
     stats_momentum: float = 0.1,
+    mesh: Any = None,
 ):
     """Build the jitted train step ``(state, batch, rng) -> (state, metrics)``.
 
@@ -72,6 +73,11 @@ def make_train_step(
     gradients (reference loss/grad_acc scaling, train.py:263-274). ``trainable``
     is the bool mask used only for the logged grad_norm (clip itself lives in
     ``tx``), matching clip_grad_norm_ over requires_grad params (train.py:278).
+
+    ``mesh`` switches from pjit auto-sharding (default; XLA inserts the
+    gradient all-reduce from the batch/param shardings) to an EXPLICIT
+    shard_map data-parallel step — required when the per-device compute uses
+    a pallas kernel (no SPMD partitioning rule). dp-only; params replicated.
 
     ``update_stats=True`` (batch-norm models, e.g. PatchTST) makes the step
     update the running statistics like nn.BatchNorm1d (momentum=0.1, reference
@@ -127,10 +133,7 @@ def make_train_step(
         return loss_sum * scale, jax.tree.map(lambda g: g * scale, grads_sum), \
             running
 
-    def train_step(state: TrainState, batch, rng=None):
-        x, y = batch
-        running = extract_running_stats(state.params) if update_stats else {}
-        loss, grads, running = compute_grads(state.params, running, x, y, rng)
+    def update_from_grads(state, loss, grads, running):
         grad_norm = global_grad_norm(grads, trainable)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
@@ -144,7 +147,61 @@ def make_train_step(
                                acc_step=state.acc_step * 0)
         return new_state, metrics
 
-    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+    def train_step(state: TrainState, batch, rng=None):
+        x, y = batch
+        running = extract_running_stats(state.params) if update_stats else {}
+        loss, grads, running = compute_grads(state.params, running, x, y, rng)
+        return update_from_grads(state, loss, grads, running)
+
+    if mesh is None:
+        return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+    # ---- shard_map data-parallel step (explicit collectives) -------------
+    # pjit auto-sharding is the default multi-chip path, but a pallas_call
+    # has no SPMD partitioning rule, so the packed MHA kernel cannot ride it.
+    # This variant runs the per-shard forward/backward inside shard_map
+    # (params/optimizer replicated, batch split over 'dp', gradients pmean'd
+    # over ICI) so the kernel executes per-device on its local batch — the
+    # DDP topology of reference distributed.py:234-240 with the collective
+    # made explicit. tp/fsdp-sharded params need the pjit path (attn_impl
+    # falls back to XLA there, apps/vit/train.py).
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    assert mesh.shape.get("tp", 1) == 1, (
+        "shard_map train step is data-parallel only; use the pjit path "
+        "(attn_impl=xla) for tp/fsdp sharding"
+    )
+
+    def per_shard(state, x, y, rng):
+        # Distinct dropout streams per shard (replicated key folded with the
+        # shard index), like independent DDP replicas on disjoint data.
+        rng = jax.random.fold_in(rng, jax.lax.axis_index("dp"))
+        running = extract_running_stats(state.params) if update_stats else {}
+        loss, grads, running = compute_grads(state.params, running, x, y, rng)
+        loss = jax.lax.pmean(loss, "dp")
+        grads = jax.lax.pmean(grads, "dp")
+        if update_stats:
+            # Synced batch-norm statistics: unsynced per-shard EMAs would
+            # diverge the replicated params across devices.
+            running = jax.lax.pmean(running, "dp")
+        return update_from_grads(state, loss, grads, running)
+
+    sharded = shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(P(), P("dp"), P("dp"), P()),
+        out_specs=P(),
+        check_rep=False,
+    )
+
+    def train_step_dp(state: TrainState, batch, rng=None):
+        x, y = batch
+        if rng is None:
+            rng = jax.random.key(0)  # dropout-free models ignore it
+        return sharded(state, x, y, rng)
+
+    return jax.jit(train_step_dp, donate_argnums=(0,) if donate else ())
 
 
 def make_eval_step(apply_fn: Callable, loss_fn: Callable = cross_entropy_loss):
