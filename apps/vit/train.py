@@ -97,6 +97,9 @@ class TrainingConfig:
     attn_impl: str = "auto"
     norm_impl: str = "auto"
     remat: bool = False
+    # log per-block gradient norms each logging period (computed on device
+    # inside the jitted step; BASELINE.json north-star capability)
+    log_block_grad_norms: bool = False
 
     # Orchestrator
     log_dir: str = ""
@@ -218,6 +221,7 @@ def train(config: TrainingConfig) -> None:
             model.apply, tx, grad_acc_steps=config.grad_acc_steps,
             schedule=schedule, base_lr=config.lr, trainable=trainable,
             mesh=mesh if use_shard_map else None,
+            block_grad_norms=config.log_block_grad_norms,
         )
         state = init_train_state(params, tx)
         state_box = {"state": state}
@@ -301,6 +305,8 @@ def train(config: TrainingConfig) -> None:
                     "step": step,
                     "lr": float(last_metrics["lr"]),
                     "grad_norm": float(last_metrics["grad_norm"]),
+                    **{k: float(v) for k, v in last_metrics.items()
+                       if k.startswith("grad_norm_block_")},
                     "elapsed_steps": elapsed_steps,
                     "ts": elapsed_time,
                 })

@@ -193,3 +193,23 @@ def test_run_evaluation_partial_final_batch(env):
     assert len(batch_accs) == 3
     expected = sum(batch_accs) / 3
     assert abs(metrics["eval_acc"] - expected) < 1e-6
+
+
+def test_block_grad_norm_logging(env):
+    """log_block_grad_norms=True emits per-block grad-norm metrics computed
+    inside the jitted step (BASELINE.json north-star capability)."""
+    import json as _json
+
+    from apps.vit.train import train
+
+    cfg = _train_config(env, log_dir="blocknorms", n_steps=2, eval_period=2,
+                        logging_period=1, log_block_grad_norms=True)
+    train(cfg)
+    run = env / "savings" / "runs" / "blocknorms"
+    recs = [_json.loads(l) for l in
+            (run / "metrics" / "raw_0.jsonl").read_text().strip().split("\n")]
+    train_recs = [r for r in recs if "loss" in r]
+    assert train_recs
+    # tiny ViT preset has a known layer count; at least block 0 is present
+    assert "grad_norm_block_0" in train_recs[0]
+    assert train_recs[0]["grad_norm_block_0"] > 0

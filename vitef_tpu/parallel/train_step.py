@@ -65,6 +65,7 @@ def make_train_step(
     update_stats: bool = False,
     stats_momentum: float = 0.1,
     mesh: Any = None,
+    block_grad_norms: bool = False,
 ):
     """Build the jitted train step ``(state, batch, rng) -> (state, metrics)``.
 
@@ -141,6 +142,12 @@ def make_train_step(
             params = merge_running_stats(params, running)
         step = state.step + 1
         metrics = {"loss": loss, "grad_norm": grad_norm}
+        if block_grad_norms and isinstance(grads, dict) and "blocks" in grads:
+            # Per-block gradient norms computed on device inside the step
+            # (BASELINE.json north star: no host round-trips); a handful of
+            # scalars per step, fused into the existing reduction pass.
+            for i, bg in enumerate(grads["blocks"]):
+                metrics[f"grad_norm_block_{i}"] = global_grad_norm(bg)
         if schedule is not None:
             metrics["lr"] = base_lr * schedule(state.step)
         new_state = TrainState(params=params, opt_state=opt_state, step=step,
