@@ -1,0 +1,164 @@
+"""KV-cache autoregressive decoding (models/generation.py).
+
+Golden invariant: greedy KV-cache decode must reproduce the naive
+"re-run the full causal forward per token, argmax the last logit" loop
+exactly (fp32, HIGHEST-precision matmuls — same numerics as training).
+The reference has no generation path (SURVEY §5.7); these tests anchor the
+added serving capability against the already-parity-tested training forward.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vitef_tpu.models import build_model
+from vitef_tpu.models.generation import generate, prefill, sample_token
+from vitef_tpu.models.transformer import apply_transformer
+
+
+def tiny_decoder(pre_norm=True, weight_tying=True, seed=0):
+    return build_model(
+        {
+            "implementation": "transformer",
+            "vocab_size": 50,
+            "emb_type": "dict",
+            "emb_dim": 32,
+            "n_heads": 4,
+            "n_layers": 2,
+            "seq_len": 24,
+            "causal": True,
+            "pre_norm": pre_norm,
+            "weight_tying": weight_tying,
+            "output_type": "sequence_to_sequence",
+            "attn_bias": True,
+            "ffn_bias": True,
+            "norm_bias": True,
+            "cls_token": False,
+            "pos_emb": True,
+        },
+        key=jax.random.key(seed),
+    )
+
+
+def naive_greedy(model, prompt, max_new):
+    """Reference decode: full forward over the growing sequence each step."""
+    seq = prompt
+    out = []
+    for _ in range(max_new):
+        logits = apply_transformer(model.params, model.config, seq)
+        nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+        out.append(nxt)
+        seq = jnp.concatenate([seq, nxt[:, None]], axis=1)
+    return jnp.stack(out, axis=1)
+
+
+@pytest.mark.parametrize("pre_norm", [True, False])
+def test_greedy_matches_full_forward(pre_norm):
+    model = tiny_decoder(pre_norm=pre_norm)
+    prompt = jnp.asarray(
+        np.random.default_rng(0).integers(0, 50, size=(2, 5)), jnp.int32
+    )
+    want = naive_greedy(model, prompt, 7)
+    got = generate(model.params, model.config, prompt, 7, temperature=0.0)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_prefill_logits_match_forward():
+    model = tiny_decoder()
+    prompt = jnp.asarray(
+        np.random.default_rng(1).integers(0, 50, size=(3, 6)), jnp.int32
+    )
+    logits, cache = prefill(model.params, model.config, prompt, max_len=10)
+    full = apply_transformer(model.params, model.config, prompt)
+    np.testing.assert_allclose(
+        np.asarray(logits), np.asarray(full[:, -1, :]), atol=1e-5
+    )
+    assert len(cache) == model.config.n_layers
+    assert cache[0]["k"].shape == (3, 10, 32)
+    # positions >= prompt length are zero (unwritten slots)
+    assert float(jnp.abs(cache[0]["k"][:, 6:]).max()) == 0.0
+
+
+def test_untied_head_decode():
+    model = tiny_decoder(weight_tying=False)
+    prompt = jnp.asarray(
+        np.random.default_rng(2).integers(0, 50, size=(2, 4)), jnp.int32
+    )
+    want = naive_greedy(model, prompt, 5)
+    got = generate(model.params, model.config, prompt, 5, temperature=0.0)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_single_token_generation():
+    model = tiny_decoder()
+    prompt = jnp.asarray([[1, 2, 3]], jnp.int32)
+    got = generate(model.params, model.config, prompt, 1, temperature=0.0)
+    assert got.shape == (1, 1)
+    want = naive_greedy(model, prompt, 1)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_sampling_semantics():
+    model = tiny_decoder()
+    prompt = jnp.asarray([[4, 7], [9, 3]], jnp.int32)
+    greedy = generate(model.params, model.config, prompt, 6, temperature=0.0)
+    topk1 = generate(model.params, model.config, prompt, 6,
+                     temperature=1.0, top_k=1, rng=jax.random.key(5))
+    np.testing.assert_array_equal(np.asarray(greedy), np.asarray(topk1))
+
+    a = generate(model.params, model.config, prompt, 6,
+                 temperature=1.0, rng=jax.random.key(7))
+    b = generate(model.params, model.config, prompt, 6,
+                 temperature=1.0, rng=jax.random.key(7))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))  # same key
+    assert ((np.asarray(a) >= 0) & (np.asarray(a) < 50)).all()
+
+    # top-k restricts every sampled token to that step's k best logits
+    k = 3
+    toks = generate(model.params, model.config, prompt, 5,
+                    temperature=1.0, top_k=k, rng=jax.random.key(11))
+    seq = prompt
+    for t in range(toks.shape[1]):
+        logits = apply_transformer(model.params, model.config, seq)[:, -1, :]
+        top = jax.lax.top_k(logits, k)[1]
+        for i in range(seq.shape[0]):
+            assert int(toks[i, t]) in np.asarray(top[i])
+        seq = jnp.concatenate([seq, toks[:, t:t + 1]], axis=1)
+
+
+def test_sample_token_topk_filter():
+    logits = jnp.asarray([[0.0, 3.0, 1.0, 2.0, -1.0]])
+    for key in range(8):
+        tok = sample_token(logits, jax.random.key(key), temperature=1.0, top_k=2)
+        assert int(tok[0]) in (1, 3)
+
+
+def test_model_generate_convenience_and_jit_cache():
+    model = tiny_decoder()
+    prompt = jnp.asarray([[1, 2, 3, 4]], jnp.int32)
+    got = model.generate(model.params, prompt, 4, temperature=0.0)
+    want = naive_greedy(model, prompt, 4)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    fn1 = model.__dict__["_generate_cache"][(4, 0.0, None)]
+    model.generate(model.params, prompt, 4, temperature=0.0)
+    assert model.__dict__["_generate_cache"][(4, 0.0, None)] is fn1
+
+
+def test_generate_validates_config():
+    non_causal = build_model(
+        {
+            "implementation": "transformer",
+            "vocab_size": 50, "emb_type": "dict", "emb_dim": 32,
+            "n_heads": 4, "n_layers": 1, "seq_len": 16,
+            "causal": False, "output_type": "sequence_to_sequence",
+        },
+        key=jax.random.key(0),
+    )
+    with pytest.raises(ValueError, match="causal"):
+        generate(non_causal.params, non_causal.config,
+                 jnp.asarray([[1]], jnp.int32), 2)
+    model = tiny_decoder()
+    with pytest.raises(ValueError, match="seq_len"):
+        generate(model.params, model.config,
+                 jnp.asarray([[1] * 20], jnp.int32), 10)

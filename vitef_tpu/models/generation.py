@@ -1,0 +1,287 @@
+"""Autoregressive decoding with a static-shape KV cache — the serving path.
+
+The reference stops at the causal training forward (architecture.py:787 notes
+decoder-only support; there is no generate/sampling/KV-cache code anywhere in
+the repo — SURVEY §5.7). Serving a decoder-only model efficiently on TPU needs
+exactly what a naive "re-run the full forward per token" loop cannot give:
+
+  - **Static shapes**: the KV cache is allocated once at ``prompt_len +
+    max_new_tokens`` and updated in place with ``lax.dynamic_update_slice`` —
+    no per-step retrace, no recompilation, XLA buffer-donates the cache
+    through the scan carry.
+  - **One compiled program**: prefill (a single batched causal forward over
+    the whole prompt that also materialises every layer's K/V) plus a
+    ``lax.scan`` over the ``max_new_tokens`` decode steps. The whole
+    generation is a single dispatch; per-token work is O(L·E) attention reads
+    plus the parameter matmuls (bandwidth-bound, as decode always is).
+  - **Sampling on device**: greedy / temperature / top-k via
+    ``jax.random.categorical``; the PRNG key is split inside the scan.
+
+Functions here are pure and jittable; wrap :func:`generate` in ``jax.jit`` with
+``static_argnums`` for ``max_new_tokens``/``temperature``/``top_k`` (the
+:class:`~vitef_tpu.models.registry.Model.generate` convenience does this).
+
+Numerics match the training forward exactly (same ``_linear``/``_norm``
+helpers, fp32 softmax, ``best_precision`` fp32 matmuls on fp32 paths), so
+greedy decode reproduces argmax over the full forward's logits bit-for-bit in
+fp32 — tested in tests/test_generation.py.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.common import best_precision
+from .transformer import TransformerConfig, _linear, _norm, get_activation
+
+_NEG_INF = -1e30
+
+
+def _check_decoder(cfg: TransformerConfig) -> None:
+    if not cfg.causal:
+        raise ValueError("generate() requires a causal (decoder-only) model")
+    if cfg.patch_type or cfg.cls_token:
+        raise ValueError("generate() is for token-sequence models (no patching/cls)")
+    if cfg.emb_type.lower() != "dict":
+        raise ValueError("generate() requires a dict token embedding")
+    if cfg.output_type.lower() != "sequence_to_sequence":
+        raise ValueError("generate() requires output_type=sequence_to_sequence")
+    if cfg.norm.lower() == "batch":
+        raise ValueError("batch-norm models are not supported for decoding")
+
+
+def init_kv_cache(cfg: TransformerConfig, batch: int, max_len: int) -> list[dict]:
+    """Per-layer K/V buffers, (batch, max_len, emb_dim) in the compute dtype."""
+    cd = cfg.cdtype()
+    shape = (batch, max_len, cfg.emb_dim)
+    return [
+        {"k": jnp.zeros(shape, cd), "v": jnp.zeros(shape, cd)}
+        for _ in range(cfg.n_layers)
+    ]
+
+
+def _split_heads(t, n_heads: int):
+    """(N, L, E) -> (N, h, L, d)."""
+    n, l, e = t.shape
+    return t.reshape(n, l, n_heads, e // n_heads).transpose(0, 2, 1, 3)
+
+
+def _attend_cached(q, k_cache, v_cache, n_heads: int, pos):
+    """One-token attention against the cache.
+
+    q: (N, E) for the token at position ``pos``; k/v caches (N, Lmax, E).
+    Positions > pos are masked (cache slots not yet written). fp32 softmax,
+    matmul precision follows the training path (best_precision).
+    """
+    n, lmax, e = k_cache.shape
+    d = e // n_heads
+    qh = q.reshape(n, n_heads, 1, d)
+    kh = _split_heads(k_cache, n_heads)
+    vh = _split_heads(v_cache, n_heads)
+    scores = jnp.einsum("nhqd,nhkd->nhqk", qh, kh,
+                        precision=best_precision(qh, kh),
+                        preferred_element_type=jnp.float32)
+    scores = scores * (1.0 / math.sqrt(d))
+    valid = jnp.arange(lmax)[None, None, None, :] <= pos
+    scores = jnp.where(valid, scores, _NEG_INF)
+    weights = jax.nn.softmax(scores, axis=-1).astype(vh.dtype)
+    out = jnp.einsum("nhqk,nhkd->nhqd", weights, vh,
+                     precision=best_precision(weights, vh),
+                     preferred_element_type=jnp.float32).astype(q.dtype)
+    return out.transpose(0, 2, 1, 3).reshape(n, e)
+
+
+def _attention_prefill(params: dict, cfg: TransformerConfig, x):
+    """Causal self-attention over the prompt that also returns (k, v).
+
+    Mirrors ops.attention.multi_head_attention's XLA path (fp32 softmax,
+    best_precision matmuls) while exposing the per-layer K/V for the cache.
+    """
+    cd = cfg.cdtype()
+    n, l, e = x.shape
+    d = e // cfg.n_heads
+    qkv_p, out_p = params["qkv_mat"], params["output"]
+    w = qkv_p["weight"].astype(cd)
+    qkv = jnp.einsum("nle,ef->nlf", x.astype(cd), w,
+                     precision=best_precision(x, w), preferred_element_type=cd)
+    if "bias" in qkv_p:
+        qkv = qkv + qkv_p["bias"].astype(cd)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    qh, kh, vh = (_split_heads(t, cfg.n_heads) for t in (q, k, v))
+    scores = jnp.einsum("nhqd,nhkd->nhqk", qh, kh,
+                        precision=best_precision(qh, kh),
+                        preferred_element_type=jnp.float32)
+    scores = scores * (1.0 / math.sqrt(d))
+    causal = jnp.arange(l)[None, :] <= jnp.arange(l)[:, None]
+    scores = jnp.where(causal[None, None], scores, _NEG_INF)
+    weights = jax.nn.softmax(scores, axis=-1).astype(vh.dtype)
+    z = jnp.einsum("nhqk,nhkd->nhqd", weights, vh,
+                   precision=best_precision(weights, vh),
+                   preferred_element_type=jnp.float32).astype(cd)
+    z = z.transpose(0, 2, 1, 3).reshape(n, l, e)
+    out = _linear(out_p, z, cd)
+    return out, k, v
+
+
+def _ffn(params: dict, cfg: TransformerConfig, x):
+    cd = cfg.cdtype()
+    act = get_activation(cfg.activation)
+    return _linear(params["fc2"], act(_linear(params["fc1"], x, cd)), cd)
+
+
+def _block_prefill(bp: dict, cfg: TransformerConfig, x):
+    """apply_block (deterministic) that also returns the block's (k, v)."""
+    if cfg.pre_norm:
+        att, k, v = _attention_prefill(bp["attn"], cfg,
+                                       _norm(bp["attn_norm"], cfg, x))
+        out = x + att
+        out = out + _ffn(bp["ffn"], cfg, _norm(bp["ffn_norm"], cfg, out))
+    else:
+        att, k, v = _attention_prefill(bp["attn"], cfg, x)
+        out = _norm(bp["attn_norm"], cfg, x + att)
+        out = _norm(bp["ffn_norm"], cfg, out + _ffn(bp["ffn"], cfg, out))
+    return out, k, v
+
+
+def _block_decode(bp: dict, cfg: TransformerConfig, x, layer_cache: dict, pos):
+    """One-token block step; writes this token's k/v into the cache at ``pos``.
+
+    ``x``: (N, E). Returns (out, updated layer cache).
+    """
+    cd = cfg.cdtype()
+
+    def attn(x_in):
+        qkv_p = bp["attn"]["qkv_mat"]
+        qkv = _linear(qkv_p, x_in, cd)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        kc = jax.lax.dynamic_update_slice(
+            layer_cache["k"], k[:, None, :].astype(layer_cache["k"].dtype),
+            (0, pos, 0))
+        vc = jax.lax.dynamic_update_slice(
+            layer_cache["v"], v[:, None, :].astype(layer_cache["v"].dtype),
+            (0, pos, 0))
+        z = _attend_cached(q, kc, vc, cfg.n_heads, pos)
+        return _linear(bp["attn"]["output"], z, cd), {"k": kc, "v": vc}
+
+    if cfg.pre_norm:
+        att, cache = attn(_norm(bp["attn_norm"], cfg, x))
+        out = x + att
+        out = out + _ffn(bp["ffn"], cfg, _norm(bp["ffn_norm"], cfg, out))
+    else:
+        att, cache = attn(x)
+        out = _norm(bp["attn_norm"], cfg, x + att)
+        out = _norm(bp["ffn_norm"], cfg, out + _ffn(bp["ffn"], cfg, out))
+    return out, cache
+
+
+def _logits(params: dict, cfg: TransformerConfig, x):
+    """seq2seq head on (..., E) hidden states -> (..., V) fp32 logits."""
+    cd = cfg.cdtype()
+    p = params["output"]["output_layer"]
+    out = _norm(p["norm"], cfg, x)
+    if cfg.weight_tying:
+        w = params["embedding"]["token_emb"]["weight"].astype(cd)
+        return jnp.einsum("...e,ve->...v", out.astype(cd), w,
+                          precision=best_precision(w),
+                          preferred_element_type=jnp.float32).astype(jnp.float32)
+    return _linear(p["head"], out, cd).astype(jnp.float32)
+
+
+def _embed_token(params: dict, cfg: TransformerConfig, token, pos):
+    """(N,) int token at position ``pos`` -> (N, E) embedded input."""
+    cd = cfg.cdtype()
+    emb = params["embedding"]
+    x = emb["token_emb"]["weight"].astype(cd)[token]
+    if cfg.pos_emb:
+        pe = jax.lax.dynamic_slice_in_dim(emb["pos_emb"], pos, 1, axis=1)
+        x = x + pe[0, 0].astype(cd)
+    return x
+
+
+def prefill(params: dict, cfg: TransformerConfig, prompt, max_len: int):
+    """Batched causal forward over the prompt, materialising the KV cache.
+
+    ``prompt``: (N, P) int32 token ids (shared length across the batch).
+    Returns ``(last_logits (N, V) fp32, cache)`` with cache buffers sized
+    ``max_len`` and positions [0, P) filled.
+    """
+    _check_decoder(cfg)
+    n, p = prompt.shape
+    cd = cfg.cdtype()
+    emb = params["embedding"]
+    x = emb["token_emb"]["weight"].astype(cd)[prompt]
+    if cfg.pos_emb:
+        x = x + emb["pos_emb"][:, :p].astype(cd)
+    cache = []
+    pad = max_len - p
+    for bp in params["blocks"]:
+        x, k, v = _block_prefill(bp, cfg, x)
+        cache.append({
+            "k": jnp.pad(k.astype(cd), ((0, 0), (0, pad), (0, 0))),
+            "v": jnp.pad(v.astype(cd), ((0, 0), (0, pad), (0, 0))),
+        })
+    return _logits(params, cfg, x[:, -1, :]), cache
+
+
+def sample_token(logits, rng, temperature: float = 1.0, top_k: int | None = None):
+    """Sample next tokens from (N, V) fp32 logits.
+
+    ``temperature == 0`` (or ``top_k == 1``) is greedy argmax; otherwise
+    temperature-scaled categorical sampling, optionally restricted to the
+    ``top_k`` highest-logit tokens.
+    """
+    if temperature == 0.0 or top_k == 1:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    logits = logits / temperature
+    if top_k is not None:
+        kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
+        logits = jnp.where(logits < kth, _NEG_INF, logits)
+    return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)
+
+
+def generate(params: dict, cfg: TransformerConfig, prompt, max_new_tokens: int,
+             *, temperature: float = 1.0, top_k: int | None = None, rng=None):
+    """Generate ``max_new_tokens`` tokens after ``prompt``.
+
+    ``prompt``: (N, P) int32, one shared length per batch (pad on the host
+    for ragged batches). Returns (N, max_new_tokens) int32. Pure and
+    jittable — ``max_new_tokens``/``temperature``/``top_k`` must be static.
+    """
+    _check_decoder(cfg)
+    n, p = prompt.shape
+    total = p + max_new_tokens
+    if total > cfg.seq_len:
+        raise ValueError(
+            f"prompt ({p}) + max_new_tokens ({max_new_tokens}) exceeds "
+            f"seq_len {cfg.seq_len}"
+        )
+    if rng is None:
+        rng = jax.random.key(0)
+
+    last_logits, cache = prefill(params, cfg, prompt, total)
+    rng, r0 = jax.random.split(rng)
+    first = sample_token(last_logits, r0, temperature, top_k)
+    if max_new_tokens == 1:
+        return first[:, None]
+
+    def step(carry, _):
+        cache, token, pos, rng = carry
+        x = _embed_token(params, cfg, token, pos)
+        new_cache = []
+        for i, bp in enumerate(params["blocks"]):
+            x, lc = _block_decode(bp, cfg, x, cache[i], pos)
+            new_cache.append(lc)
+        logits = _logits(params, cfg, x)
+        rng, r = jax.random.split(rng)
+        nxt = sample_token(logits, r, temperature, top_k)
+        return (new_cache, nxt, pos + 1, rng), token
+
+    (_, last, _, _), tokens = jax.lax.scan(
+        step, (cache, first, jnp.int32(p), rng), None,
+        length=max_new_tokens - 1,
+    )
+    # tokens: (max_new-1, N) of all but the final sample; append it.
+    return jnp.concatenate([tokens, last[None]], axis=0).T

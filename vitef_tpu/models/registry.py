@@ -44,6 +44,26 @@ class Model:
 
         return make_eval_step(self.apply)
 
+    def generate(self, params, prompt, max_new_tokens: int, *,
+                 temperature: float = 1.0, top_k: int | None = None, rng=None):
+        """KV-cache autoregressive decoding (see models/generation.py).
+
+        The jitted program is cached per (max_new_tokens, temperature, top_k)
+        on this Model instance (jax's own jit cache then handles prompt-shape
+        variations), so repeated serving calls don't retrace."""
+        from .generation import generate as _generate
+
+        key = (max_new_tokens, temperature, top_k)
+        cache = self.__dict__.setdefault("_generate_cache", {})
+        fn = cache.get(key)
+        if fn is None:
+            fn = cache[key] = jax.jit(functools.partial(
+                _generate, cfg=self.config, max_new_tokens=max_new_tokens,
+                temperature=temperature, top_k=top_k))
+        if rng is None:
+            rng = jax.random.key(0)
+        return fn(params, prompt=prompt, rng=rng)
+
     def get_decomposition(self, params, x):
         return T.get_decomposition(params, self.config, x)
 
