@@ -75,9 +75,9 @@ def test_prefill_logits_match_forward():
         np.asarray(logits), np.asarray(full[:, -1, :]), atol=1e-5
     )
     assert len(cache) == model.config.n_layers
-    assert cache[0]["k"].shape == (3, 10, 32)
+    assert cache[0]["k"].shape == (3, 4, 10, 8)  # (N, h, Lmax, d)
     # positions >= prompt length are zero (unwritten slots)
-    assert float(jnp.abs(cache[0]["k"][:, 6:]).max()) == 0.0
+    assert float(jnp.abs(cache[0]["k"][:, :, 6:]).max()) == 0.0
 
 
 def test_untied_head_decode():

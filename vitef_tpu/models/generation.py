@@ -54,9 +54,15 @@ def _check_decoder(cfg: TransformerConfig) -> None:
 
 
 def init_kv_cache(cfg: TransformerConfig, batch: int, max_len: int) -> list[dict]:
-    """Per-layer K/V buffers, (batch, max_len, emb_dim) in the compute dtype."""
+    """Per-layer K/V buffers in the compute dtype.
+
+    Layout is HEAD-SPLIT — (batch, n_heads, max_len, head_dim) — so decode
+    steps read the cache directly in the attention einsum layout: a
+    (batch, max_len, emb) layout would force a full-cache head-split
+    transpose every step, tripling the per-token HBM traffic of the
+    bandwidth-bound decode loop."""
     cd = cfg.cdtype()
-    shape = (batch, max_len, cfg.emb_dim)
+    shape = (batch, cfg.n_heads, max_len, cfg.emb_dim // cfg.n_heads)
     return [
         {"k": jnp.zeros(shape, cd), "v": jnp.zeros(shape, cd)}
         for _ in range(cfg.n_layers)
@@ -70,28 +76,25 @@ def _split_heads(t, n_heads: int):
 
 
 def _attend_cached(q, k_cache, v_cache, n_heads: int, pos):
-    """One-token attention against the cache.
+    """One-token attention against the (N, h, Lmax, d) cache.
 
-    q: (N, E) for the token at position ``pos``; k/v caches (N, Lmax, E).
-    Positions > pos are masked (cache slots not yet written). fp32 softmax,
-    matmul precision follows the training path (best_precision).
+    q: (N, E) for the token at position ``pos``. Positions > pos are masked
+    (cache slots not yet written). fp32 softmax, matmul precision follows the
+    training path (best_precision).
     """
-    n, lmax, e = k_cache.shape
-    d = e // n_heads
+    n, h, lmax, d = k_cache.shape
     qh = q.reshape(n, n_heads, 1, d)
-    kh = _split_heads(k_cache, n_heads)
-    vh = _split_heads(v_cache, n_heads)
-    scores = jnp.einsum("nhqd,nhkd->nhqk", qh, kh,
-                        precision=best_precision(qh, kh),
+    scores = jnp.einsum("nhqd,nhkd->nhqk", qh, k_cache,
+                        precision=best_precision(qh, k_cache),
                         preferred_element_type=jnp.float32)
     scores = scores * (1.0 / math.sqrt(d))
     valid = jnp.arange(lmax)[None, None, None, :] <= pos
     scores = jnp.where(valid, scores, _NEG_INF)
-    weights = jax.nn.softmax(scores, axis=-1).astype(vh.dtype)
-    out = jnp.einsum("nhqk,nhkd->nhqd", weights, vh,
-                     precision=best_precision(weights, vh),
+    weights = jax.nn.softmax(scores, axis=-1).astype(v_cache.dtype)
+    out = jnp.einsum("nhqk,nhkd->nhqd", weights, v_cache,
+                     precision=best_precision(weights, v_cache),
                      preferred_element_type=jnp.float32).astype(q.dtype)
-    return out.transpose(0, 2, 1, 3).reshape(n, e)
+    return out.transpose(0, 2, 1, 3).reshape(n, h * d)
 
 
 def _attention_prefill(params: dict, cfg: TransformerConfig, x):
@@ -157,12 +160,17 @@ def _block_decode(bp: dict, cfg: TransformerConfig, x, layer_cache: dict, pos):
         qkv_p = bp["attn"]["qkv_mat"]
         qkv = _linear(qkv_p, x_in, cd)
         q, k, v = jnp.split(qkv, 3, axis=-1)
+        n, e = k.shape
+        d = e // cfg.n_heads
+        # (N, E) -> (N, h, 1, d): E is head-major, matching the cache layout.
         kc = jax.lax.dynamic_update_slice(
-            layer_cache["k"], k[:, None, :].astype(layer_cache["k"].dtype),
-            (0, pos, 0))
+            layer_cache["k"],
+            k.reshape(n, cfg.n_heads, 1, d).astype(layer_cache["k"].dtype),
+            (0, 0, pos, 0))
         vc = jax.lax.dynamic_update_slice(
-            layer_cache["v"], v[:, None, :].astype(layer_cache["v"].dtype),
-            (0, pos, 0))
+            layer_cache["v"],
+            v.reshape(n, cfg.n_heads, 1, d).astype(layer_cache["v"].dtype),
+            (0, 0, pos, 0))
         z = _attend_cached(q, kc, vc, cfg.n_heads, pos)
         return _linear(bp["attn"]["output"], z, cd), {"k": kc, "v": vc}
 
@@ -216,12 +224,12 @@ def prefill(params: dict, cfg: TransformerConfig, prompt, max_len: int):
     if cfg.pos_emb:
         x = x + emb["pos_emb"][:, :p].astype(cd)
     cache = []
-    pad = max_len - p
+    pad = ((0, 0), (0, 0), (0, max_len - p), (0, 0))
     for bp in params["blocks"]:
         x, k, v = _block_prefill(bp, cfg, x)
         cache.append({
-            "k": jnp.pad(k.astype(cd), ((0, 0), (0, pad), (0, 0))),
-            "v": jnp.pad(v.astype(cd), ((0, 0), (0, pad), (0, 0))),
+            "k": jnp.pad(_split_heads(k.astype(cd), cfg.n_heads), pad),
+            "v": jnp.pad(_split_heads(v.astype(cd), cfg.n_heads), pad),
         })
     return _logits(params, cfg, x[:, -1, :]), cache
 
