@@ -140,9 +140,63 @@ def test_model_generate_convenience_and_jit_cache():
     got = model.generate(model.params, prompt, 4, temperature=0.0)
     want = naive_greedy(model, prompt, 4)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
-    fn1 = model.__dict__["_generate_cache"][(4, 0.0, None)]
+    fn1 = model.__dict__["_generate_cache"][(4, 0.0, None, True)]
     model.generate(model.params, prompt, 4, temperature=0.0)
-    assert model.__dict__["_generate_cache"][(4, 0.0, None)] is fn1
+    assert model.__dict__["_generate_cache"][(4, 0.0, None, True)] is fn1
+
+
+def test_left_padded_ragged_batch_matches_unpadded():
+    """Left-padded ragged batching must reproduce each sample's unpadded
+    generation exactly: padded keys are masked to exp(-inf)=0 softmax weight
+    and positional embeddings follow logical positions."""
+    model = tiny_decoder()
+    rng = np.random.default_rng(3)
+    p1 = rng.integers(0, 50, size=4)
+    p2 = rng.integers(0, 50, size=7)
+    w1 = generate(model.params, model.config,
+                  jnp.asarray(p1[None], jnp.int32), 6, temperature=0.0)
+    w2 = generate(model.params, model.config,
+                  jnp.asarray(p2[None], jnp.int32), 6, temperature=0.0)
+
+    pad_to = 7
+    prompt = np.zeros((2, pad_to), np.int64)
+    mask = np.zeros((2, pad_to), bool)
+    prompt[0, pad_to - 4:] = p1
+    mask[0, pad_to - 4:] = True
+    prompt[1] = p2
+    mask[1] = True
+    got = generate(model.params, model.config,
+                   jnp.asarray(prompt, jnp.int32), 6, temperature=0.0,
+                   prompt_mask=jnp.asarray(mask))
+    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(w1[0]))
+    np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(w2[0]))
+
+
+def test_ragged_prefill_logits_match_unpadded():
+    model = tiny_decoder()
+    rng = np.random.default_rng(4)
+    toks = rng.integers(0, 50, size=5)
+    full, _ = prefill(model.params, model.config,
+                      jnp.asarray(toks[None], jnp.int32), max_len=12)
+    padded = np.zeros((1, 8), np.int64)
+    mask = np.zeros((1, 8), bool)
+    padded[0, 3:] = toks
+    mask[0, 3:] = True
+    ragged, _ = prefill(model.params, model.config,
+                        jnp.asarray(padded, jnp.int32), max_len=15,
+                        prompt_mask=jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(ragged), np.asarray(full), atol=1e-5)
+
+
+def test_model_generate_with_mask():
+    model = tiny_decoder()
+    prompt = jnp.asarray([[0, 0, 1, 2], [5, 6, 7, 8]], jnp.int32)
+    mask = jnp.asarray([[False, False, True, True], [True, True, True, True]])
+    got = model.generate(model.params, prompt, 3, temperature=0.0,
+                         prompt_mask=mask)
+    want0 = generate(model.params, model.config,
+                     jnp.asarray([[1, 2]], jnp.int32), 3, temperature=0.0)
+    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(want0[0]))
 
 
 def test_generate_validates_config():

@@ -75,12 +75,13 @@ def _split_heads(t, n_heads: int):
     return t.reshape(n, l, n_heads, e // n_heads).transpose(0, 2, 1, 3)
 
 
-def _attend_cached(q, k_cache, v_cache, n_heads: int, pos):
+def _attend_cached(q, k_cache, v_cache, n_heads: int, pos, key_mask=None):
     """One-token attention against the (N, h, Lmax, d) cache.
 
     q: (N, E) for the token at position ``pos``. Positions > pos are masked
-    (cache slots not yet written). fp32 softmax, matmul precision follows the
-    training path (best_precision).
+    (cache slots not yet written); ``key_mask`` (N, Lmax) additionally masks
+    left-padding slots of ragged prompts. fp32 softmax, matmul precision
+    follows the training path (best_precision).
     """
     n, h, lmax, d = k_cache.shape
     qh = q.reshape(n, n_heads, 1, d)
@@ -88,8 +89,10 @@ def _attend_cached(q, k_cache, v_cache, n_heads: int, pos):
                         precision=best_precision(qh, k_cache),
                         preferred_element_type=jnp.float32)
     scores = scores * (1.0 / math.sqrt(d))
-    valid = jnp.arange(lmax)[None, None, None, :] <= pos
-    scores = jnp.where(valid, scores, _NEG_INF)
+    valid = jnp.arange(lmax)[None, :] <= pos  # (1, Lmax)
+    if key_mask is not None:
+        valid = jnp.logical_and(valid, key_mask)  # (N, Lmax)
+    scores = jnp.where(valid[:, None, None, :], scores, _NEG_INF)
     weights = jax.nn.softmax(scores, axis=-1).astype(v_cache.dtype)
     out = jnp.einsum("nhqk,nhkd->nhqd", weights, v_cache,
                      precision=best_precision(weights, v_cache),
@@ -97,11 +100,12 @@ def _attend_cached(q, k_cache, v_cache, n_heads: int, pos):
     return out.transpose(0, 2, 1, 3).reshape(n, h * d)
 
 
-def _attention_prefill(params: dict, cfg: TransformerConfig, x):
+def _attention_prefill(params: dict, cfg: TransformerConfig, x, key_mask=None):
     """Causal self-attention over the prompt that also returns (k, v).
 
     Mirrors ops.attention.multi_head_attention's XLA path (fp32 softmax,
     best_precision matmuls) while exposing the per-layer K/V for the cache.
+    ``key_mask`` (N, L) masks left-padding keys of ragged prompts.
     """
     cd = cfg.cdtype()
     n, l, e = x.shape
@@ -119,7 +123,10 @@ def _attention_prefill(params: dict, cfg: TransformerConfig, x):
                         preferred_element_type=jnp.float32)
     scores = scores * (1.0 / math.sqrt(d))
     causal = jnp.arange(l)[None, :] <= jnp.arange(l)[:, None]
-    scores = jnp.where(causal[None, None], scores, _NEG_INF)
+    mask = causal[None, None]
+    if key_mask is not None:
+        mask = jnp.logical_and(mask, key_mask[:, None, None, :])
+    scores = jnp.where(mask, scores, _NEG_INF)
     weights = jax.nn.softmax(scores, axis=-1).astype(vh.dtype)
     z = jnp.einsum("nhqk,nhkd->nhqd", weights, vh,
                    precision=best_precision(weights, vh),
@@ -135,21 +142,22 @@ def _ffn(params: dict, cfg: TransformerConfig, x):
     return _linear(params["fc2"], act(_linear(params["fc1"], x, cd)), cd)
 
 
-def _block_prefill(bp: dict, cfg: TransformerConfig, x):
+def _block_prefill(bp: dict, cfg: TransformerConfig, x, key_mask=None):
     """apply_block (deterministic) that also returns the block's (k, v)."""
     if cfg.pre_norm:
         att, k, v = _attention_prefill(bp["attn"], cfg,
-                                       _norm(bp["attn_norm"], cfg, x))
+                                       _norm(bp["attn_norm"], cfg, x), key_mask)
         out = x + att
         out = out + _ffn(bp["ffn"], cfg, _norm(bp["ffn_norm"], cfg, out))
     else:
-        att, k, v = _attention_prefill(bp["attn"], cfg, x)
+        att, k, v = _attention_prefill(bp["attn"], cfg, x, key_mask)
         out = _norm(bp["attn_norm"], cfg, x + att)
         out = _norm(bp["ffn_norm"], cfg, out + _ffn(bp["ffn"], cfg, out))
     return out, k, v
 
 
-def _block_decode(bp: dict, cfg: TransformerConfig, x, layer_cache: dict, pos):
+def _block_decode(bp: dict, cfg: TransformerConfig, x, layer_cache: dict, pos,
+                  key_mask=None):
     """One-token block step; writes this token's k/v into the cache at ``pos``.
 
     ``x``: (N, E). Returns (out, updated layer cache).
@@ -171,7 +179,7 @@ def _block_decode(bp: dict, cfg: TransformerConfig, x, layer_cache: dict, pos):
             layer_cache["v"],
             v.reshape(n, cfg.n_heads, 1, d).astype(layer_cache["v"].dtype),
             (0, 0, pos, 0))
-        z = _attend_cached(q, kc, vc, cfg.n_heads, pos)
+        z = _attend_cached(q, kc, vc, cfg.n_heads, pos, key_mask)
         return _linear(bp["attn"]["output"], z, cd), {"k": kc, "v": vc}
 
     if cfg.pre_norm:
@@ -198,23 +206,27 @@ def _logits(params: dict, cfg: TransformerConfig, x):
     return _linear(p["head"], out, cd).astype(jnp.float32)
 
 
-def _embed_token(params: dict, cfg: TransformerConfig, token, pos):
-    """(N,) int token at position ``pos`` -> (N, E) embedded input."""
+def _embed_token(params: dict, cfg: TransformerConfig, token, positions):
+    """(N,) int tokens at per-sample logical ``positions`` -> (N, E)."""
     cd = cfg.cdtype()
     emb = params["embedding"]
     x = emb["token_emb"]["weight"].astype(cd)[token]
     if cfg.pos_emb:
-        pe = jax.lax.dynamic_slice_in_dim(emb["pos_emb"], pos, 1, axis=1)
-        x = x + pe[0, 0].astype(cd)
+        x = x + emb["pos_emb"][0][positions].astype(cd)
     return x
 
 
-def prefill(params: dict, cfg: TransformerConfig, prompt, max_len: int):
+def prefill(params: dict, cfg: TransformerConfig, prompt, max_len: int,
+            prompt_mask=None):
     """Batched causal forward over the prompt, materialising the KV cache.
 
-    ``prompt``: (N, P) int32 token ids (shared length across the batch).
-    Returns ``(last_logits (N, V) fp32, cache)`` with cache buffers sized
-    ``max_len`` and positions [0, P) filled.
+    ``prompt``: (N, P) int32 token ids. Ragged batches are LEFT-padded to a
+    shared length with ``prompt_mask`` (N, P) bool marking real tokens
+    (right-aligned, the serving convention: every sample's next token then
+    lands in the same cache slot P). Positional embeddings use per-sample
+    logical positions (``cumsum(mask) - 1``); padded keys are masked out of
+    every attention. Returns ``(last_logits (N, V) fp32, cache)`` with cache
+    buffers sized ``max_len`` and positions [0, P) filled.
     """
     _check_decoder(cfg)
     n, p = prompt.shape
@@ -222,11 +234,16 @@ def prefill(params: dict, cfg: TransformerConfig, prompt, max_len: int):
     emb = params["embedding"]
     x = emb["token_emb"]["weight"].astype(cd)[prompt]
     if cfg.pos_emb:
-        x = x + emb["pos_emb"][:, :p].astype(cd)
+        if prompt_mask is None:
+            x = x + emb["pos_emb"][:, :p].astype(cd)
+        else:
+            positions = jnp.maximum(
+                jnp.cumsum(prompt_mask.astype(jnp.int32), axis=1) - 1, 0)
+            x = x + emb["pos_emb"][0][positions].astype(cd)
     cache = []
     pad = ((0, 0), (0, 0), (0, max_len - p), (0, 0))
     for bp in params["blocks"]:
-        x, k, v = _block_prefill(bp, cfg, x)
+        x, k, v = _block_prefill(bp, cfg, x, prompt_mask)
         cache.append({
             "k": jnp.pad(_split_heads(k.astype(cd), cfg.n_heads), pad),
             "v": jnp.pad(_split_heads(v.astype(cd), cfg.n_heads), pad),
@@ -251,12 +268,16 @@ def sample_token(logits, rng, temperature: float = 1.0, top_k: int | None = None
 
 
 def generate(params: dict, cfg: TransformerConfig, prompt, max_new_tokens: int,
-             *, temperature: float = 1.0, top_k: int | None = None, rng=None):
+             *, temperature: float = 1.0, top_k: int | None = None, rng=None,
+             prompt_mask=None):
     """Generate ``max_new_tokens`` tokens after ``prompt``.
 
-    ``prompt``: (N, P) int32, one shared length per batch (pad on the host
-    for ragged batches). Returns (N, max_new_tokens) int32. Pure and
-    jittable — ``max_new_tokens``/``temperature``/``top_k`` must be static.
+    ``prompt``: (N, P) int32. Ragged batches are LEFT-padded to the shared
+    length P with ``prompt_mask`` (N, P) bool marking the real (right-aligned)
+    tokens — padded keys never participate in attention and positional
+    embeddings follow each sample's logical positions, so the result matches
+    generating each sample unpadded. Returns (N, max_new_tokens) int32. Pure
+    and jittable — ``max_new_tokens``/``temperature``/``top_k`` are static.
     """
     _check_decoder(cfg)
     n, p = prompt.shape
@@ -269,7 +290,17 @@ def generate(params: dict, cfg: TransformerConfig, prompt, max_new_tokens: int,
     if rng is None:
         rng = jax.random.key(0)
 
-    last_logits, cache = prefill(params, cfg, prompt, total)
+    if prompt_mask is None:
+        lengths = jnp.full((n,), p, jnp.int32)
+        key_mask = None
+    else:
+        lengths = jnp.sum(prompt_mask.astype(jnp.int32), axis=1)
+        # pad slots stay masked for the whole generation; decoded slots valid
+        key_mask = jnp.concatenate(
+            [prompt_mask.astype(bool),
+             jnp.ones((n, max_new_tokens), bool)], axis=1)
+
+    last_logits, cache = prefill(params, cfg, prompt, total, prompt_mask)
     rng, r0 = jax.random.split(rng)
     first = sample_token(last_logits, r0, temperature, top_k)
     if max_new_tokens == 1:
@@ -277,10 +308,11 @@ def generate(params: dict, cfg: TransformerConfig, prompt, max_new_tokens: int,
 
     def step(carry, _):
         cache, token, pos, rng = carry
-        x = _embed_token(params, cfg, token, pos)
+        # logical position of this token = sample length + tokens decoded so far
+        x = _embed_token(params, cfg, token, lengths + (pos - p))
         new_cache = []
         for i, bp in enumerate(params["blocks"]):
-            x, lc = _block_decode(bp, cfg, x, cache[i], pos)
+            x, lc = _block_decode(bp, cfg, x, cache[i], pos, key_mask)
             new_cache.append(lc)
         logits = _logits(params, cfg, x)
         rng, r = jax.random.split(rng)

@@ -45,7 +45,8 @@ class Model:
         return make_eval_step(self.apply)
 
     def generate(self, params, prompt, max_new_tokens: int, *,
-                 temperature: float = 1.0, top_k: int | None = None, rng=None):
+                 temperature: float = 1.0, top_k: int | None = None, rng=None,
+                 prompt_mask=None):
         """KV-cache autoregressive decoding (see models/generation.py).
 
         The jitted program is cached per (max_new_tokens, temperature, top_k)
@@ -53,7 +54,7 @@ class Model:
         variations), so repeated serving calls don't retrace."""
         from .generation import generate as _generate
 
-        key = (max_new_tokens, temperature, top_k)
+        key = (max_new_tokens, temperature, top_k, prompt_mask is None)
         cache = self.__dict__.setdefault("_generate_cache", {})
         fn = cache.get(key)
         if fn is None:
@@ -62,7 +63,9 @@ class Model:
                 temperature=temperature, top_k=top_k))
         if rng is None:
             rng = jax.random.key(0)
-        return fn(params, prompt=prompt, rng=rng)
+        if prompt_mask is None:
+            return fn(params, prompt=prompt, rng=rng)
+        return fn(params, prompt=prompt, rng=rng, prompt_mask=prompt_mask)
 
     def get_decomposition(self, params, x):
         return T.get_decomposition(params, self.config, x)
