@@ -140,9 +140,9 @@ def test_model_generate_convenience_and_jit_cache():
     got = model.generate(model.params, prompt, 4, temperature=0.0)
     want = naive_greedy(model, prompt, 4)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
-    fn1 = model.__dict__["_generate_cache"][(4, 0.0, None, True)]
+    fn1 = model.__dict__["_generate_cache"][(4, 0.0, None, True, False)]
     model.generate(model.params, prompt, 4, temperature=0.0)
-    assert model.__dict__["_generate_cache"][(4, 0.0, None, True)] is fn1
+    assert model.__dict__["_generate_cache"][(4, 0.0, None, True, False)] is fn1
 
 
 def test_left_padded_ragged_batch_matches_unpadded():

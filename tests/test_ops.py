@@ -268,3 +268,62 @@ class TestPackedMHABias:
                                    atol=5e-5, rtol=1e-3)
         np.testing.assert_allclose(np.asarray(db_p), np.asarray(db_r),
                                    atol=5e-5, rtol=1e-3)
+
+
+class TestFastTopK:
+    """ops.topk.top_k: exact two-stage selection ≡ lax.top_k bit-for-bit."""
+
+    def test_exact_match_large_vocab(self):
+        from vitef_tpu.ops.topk import top_k
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((7, 50257), dtype=np.float32))
+        for k in (1, 5, 40, 200):
+            vals, idx = top_k(x, k)
+            rv, ri = jax.lax.top_k(x, k)
+            np.testing.assert_array_equal(np.asarray(vals), np.asarray(rv))
+            np.testing.assert_array_equal(np.asarray(idx), np.asarray(ri))
+
+    def test_tie_order_matches_lax(self):
+        from vitef_tpu.ops.topk import top_k
+
+        # Duplicated values straddling group boundaries: lax.top_k breaks ties
+        # by ascending index; two-stage must reproduce that exactly.
+        rng = np.random.default_rng(1)
+        base = rng.integers(0, 50, size=(3, 4096)).astype(np.float32)
+        x = jnp.asarray(base)
+        vals, idx = top_k(x, 17, group=512)
+        rv, ri = jax.lax.top_k(x, 17)
+        np.testing.assert_array_equal(np.asarray(vals), np.asarray(rv))
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(ri))
+
+    def test_small_axis_and_int_fallback(self):
+        from vitef_tpu.ops.topk import top_k
+
+        x = jnp.asarray([[3.0, 1.0, 2.0, 0.5]])
+        vals, idx = top_k(x, 2)
+        np.testing.assert_array_equal(np.asarray(idx), [[0, 2]])
+        xi = jnp.asarray([[5, 9, 1, 7]], jnp.int32)
+        vals, idx = top_k(xi, 2)
+        np.testing.assert_array_equal(np.asarray(idx), [[1, 3]])
+
+    def test_nondivisible_padding_never_selected(self):
+        from vitef_tpu.ops.topk import top_k
+
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.standard_normal((2, 1025), dtype=np.float32)) - 100.0
+        vals, idx = top_k(x, 8, group=256)
+        rv, ri = jax.lax.top_k(x, 8)
+        np.testing.assert_array_equal(np.asarray(vals), np.asarray(rv))
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(ri))
+        assert (np.asarray(idx) < 1025).all()
+
+    def test_jit_and_batch_dims(self):
+        from vitef_tpu.ops.topk import top_k
+
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.standard_normal((2, 3, 2048), dtype=np.float32))
+        vals, idx = jax.jit(lambda t: top_k(t, 6, group=256))(x)
+        rv, ri = jax.lax.top_k(x, 6)
+        np.testing.assert_array_equal(np.asarray(vals), np.asarray(rv))
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(ri))

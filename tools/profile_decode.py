@@ -1,0 +1,69 @@
+"""Time (and optionally trace) the KV-cache decode loop at serving shapes.
+
+GPT2-small (124M, L=12 E=768 h=12 V=50257), batch 256, prompt 128 + 128 new
+tokens — run from the repo root on the real TPU:
+
+    python tools/profile_decode.py [--trace DIR] [--mode all|topk|approx|greedy|cat]
+
+Wall time is synced with a value fetch (axon tunnel: block_until_ready does
+not block — CLAUDE.md). One warm run first; the measured run is steady-state.
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+
+from vitef_tpu.models import build_model
+
+MODES = {
+    "topk": dict(temperature=0.8, top_k=40),
+    "approx": dict(temperature=0.8, top_k=40, approx_top_k=True),
+    "cat": dict(temperature=0.8),
+    "greedy": dict(temperature=0.0),
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", default="all", choices=["all", *MODES])
+    ap.add_argument("--trace", default=None, help="jax.profiler trace dir")
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--prompt", type=int, default=128)
+    ap.add_argument("--new", type=int, default=128)
+    args = ap.parse_args()
+
+    m = build_model(dict(
+        implementation="transformer", vocab_size=50257, emb_type="dict",
+        emb_dim=768, n_heads=12, n_layers=12, seq_len=1024, causal=True,
+        pre_norm=True, weight_tying=True, output_type="sequence_to_sequence",
+        attn_bias=True, ffn_bias=True, norm_bias=True,
+        compute_dtype="bfloat16"), key=jax.random.key(0))
+    prompt = np.random.default_rng(0).integers(
+        0, 50257, size=(args.batch, args.prompt))
+    prompt = jax.numpy.asarray(prompt, jax.numpy.int32)
+
+    modes = list(MODES) if args.mode == "all" else [args.mode]
+    for name in modes:
+        kw = MODES[name]
+        out = m.generate(m.params, prompt, args.new, rng=jax.random.key(1), **kw)
+        np.asarray(out)  # warm + sync
+        if args.trace:
+            jax.profiler.start_trace(args.trace)
+        t0 = time.perf_counter()
+        out = m.generate(m.params, prompt, args.new, rng=jax.random.key(2), **kw)
+        np.asarray(out)
+        dt = time.perf_counter() - t0
+        if args.trace:
+            jax.profiler.stop_trace()
+        ms = dt * 1000 / args.new
+        print(f"{name:8s} {dt*1000:8.1f} ms total  {ms:6.2f} ms/token-step  "
+              f"{args.batch / ms * 1000:9.0f} tok/s", flush=True)
+
+
+if __name__ == "__main__":
+    main()

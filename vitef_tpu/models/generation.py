@@ -35,6 +35,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.common import best_precision
+from ..ops.topk import top_k as fast_top_k
 from .transformer import TransformerConfig, _linear, _norm, get_activation
 
 _NEG_INF = -1e30
@@ -251,25 +252,36 @@ def prefill(params: dict, cfg: TransformerConfig, prompt, max_len: int,
     return _logits(params, cfg, x[:, -1, :]), cache
 
 
-def sample_token(logits, rng, temperature: float = 1.0, top_k: int | None = None):
+def sample_token(logits, rng, temperature: float = 1.0, top_k: int | None = None,
+                 approx_top_k: bool = False):
     """Sample next tokens from (N, V) fp32 logits.
 
     ``temperature == 0`` (or ``top_k == 1``) is greedy argmax; otherwise
     temperature-scaled categorical sampling, optionally restricted to the
     ``top_k`` highest-logit tokens.
+
+    The top-k path samples over the k CANDIDATE logits and gathers the chosen
+    index — the same renormalised distribution as masking the full vocabulary
+    to -inf and sampling that, without materialising or scanning (N, V) again.
+    Combined with :func:`vitef_tpu.ops.topk.top_k` (exact two-stage selection
+    instead of ``lax.top_k``'s full vocab sort) this took the GPT2-small
+    decode token-step from 23.1 ms to ~10 ms at batch 256 on v5e (PERF.md).
+    ``approx_top_k=True`` opts into ``lax.approx_max_k`` candidates (~95%
+    recall, another ~3 ms off); exact selection is the default.
     """
     if temperature == 0.0 or top_k == 1:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    logits = logits / temperature
     if top_k is not None:
-        kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
-        logits = jnp.where(logits < kth, _NEG_INF, logits)
-    return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)
+        vals, idx = fast_top_k(logits, top_k, approx=approx_top_k)
+        choice = jax.random.categorical(rng, vals / temperature, axis=-1)
+        return jnp.take_along_axis(
+            idx, choice[..., None], axis=-1)[..., 0].astype(jnp.int32)
+    return jax.random.categorical(rng, logits / temperature, axis=-1).astype(jnp.int32)
 
 
 def generate(params: dict, cfg: TransformerConfig, prompt, max_new_tokens: int,
              *, temperature: float = 1.0, top_k: int | None = None, rng=None,
-             prompt_mask=None):
+             prompt_mask=None, approx_top_k: bool = False):
     """Generate ``max_new_tokens`` tokens after ``prompt``.
 
     ``prompt``: (N, P) int32. Ragged batches are LEFT-padded to the shared
@@ -302,7 +314,7 @@ def generate(params: dict, cfg: TransformerConfig, prompt, max_new_tokens: int,
 
     last_logits, cache = prefill(params, cfg, prompt, total, prompt_mask)
     rng, r0 = jax.random.split(rng)
-    first = sample_token(last_logits, r0, temperature, top_k)
+    first = sample_token(last_logits, r0, temperature, top_k, approx_top_k)
     if max_new_tokens == 1:
         return first[:, None]
 
@@ -316,7 +328,7 @@ def generate(params: dict, cfg: TransformerConfig, prompt, max_new_tokens: int,
             new_cache.append(lc)
         logits = _logits(params, cfg, x)
         rng, r = jax.random.split(rng)
-        nxt = sample_token(logits, r, temperature, top_k)
+        nxt = sample_token(logits, r, temperature, top_k, approx_top_k)
         return (new_cache, nxt, pos + 1, rng), token
 
     (_, last, _, _), tokens = jax.lax.scan(

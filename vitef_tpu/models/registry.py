@@ -46,7 +46,7 @@ class Model:
 
     def generate(self, params, prompt, max_new_tokens: int, *,
                  temperature: float = 1.0, top_k: int | None = None, rng=None,
-                 prompt_mask=None):
+                 prompt_mask=None, approx_top_k: bool = False):
         """KV-cache autoregressive decoding (see models/generation.py).
 
         The jitted program is cached per (max_new_tokens, temperature, top_k)
@@ -54,13 +54,15 @@ class Model:
         variations), so repeated serving calls don't retrace."""
         from .generation import generate as _generate
 
-        key = (max_new_tokens, temperature, top_k, prompt_mask is None)
+        key = (max_new_tokens, temperature, top_k, prompt_mask is None,
+               approx_top_k)
         cache = self.__dict__.setdefault("_generate_cache", {})
         fn = cache.get(key)
         if fn is None:
             fn = cache[key] = jax.jit(functools.partial(
                 _generate, cfg=self.config, max_new_tokens=max_new_tokens,
-                temperature=temperature, top_k=top_k))
+                temperature=temperature, top_k=top_k,
+                approx_top_k=approx_top_k))
         if rng is None:
             rng = jax.random.key(0)
         if prompt_mask is None:
