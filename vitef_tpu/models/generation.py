@@ -34,7 +34,8 @@ import math
 import jax
 import jax.numpy as jnp
 
-from ..ops.common import best_precision
+from ..ops.attention import fused_mha_packed, packed_mha_supported
+from ..ops.common import best_precision, resolve_impl
 from ..ops.topk import top_k as fast_top_k
 from .transformer import TransformerConfig, _linear, _norm, get_activation
 
@@ -118,6 +119,15 @@ def _attention_prefill(params: dict, cfg: TransformerConfig, x, key_mask=None):
     if "bias" in qkv_p:
         qkv = qkv + qkv_p["bias"].astype(cd)
     q, k, v = jnp.split(qkv, 3, axis=-1)
+    # Packed fused MHA kernel for the bf16 un-ragged prefill (the K/V returned
+    # for the cache are slices of qkv either way; qkv is already biased, so no
+    # in-kernel bias). Ragged prompts need the key_mask and keep the einsum
+    # path, as does fp32 (golden-parity semantics).
+    if (key_mask is None and cd == jnp.bfloat16
+            and packed_mha_supported(l, e, 2)
+            and resolve_impl("auto", seq_len=l, dtype=cd) == "pallas"):
+        z = fused_mha_packed(qkv, cfg.n_heads, causal=True)
+        return _linear(out_p, z, cd), k, v
     qh, kh, vh = (_split_heads(t, cfg.n_heads) for t in (q, k, v))
     scores = jnp.einsum("nhqd,nhkd->nhqk", qh, kh,
                         precision=best_precision(qh, kh),
