@@ -216,3 +216,31 @@ def test_generate_validates_config():
     with pytest.raises(ValueError, match="seq_len"):
         generate(model.params, model.config,
                  jnp.asarray([[1] * 20], jnp.int32), 10)
+
+
+def test_generate_batch_sharded_over_dp_mesh():
+    """Serving scales over the dp mesh axis: generate() is pure and
+    batch-parallel, so jitting it with the prompt sharded over 'dp'
+    (params replicated) must reproduce the single-device output exactly —
+    XLA partitions the prefill, the decode scan, and the per-sample
+    sampling without any cross-sample collective."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from vitef_tpu.parallel import build_mesh
+
+    model = tiny_decoder()
+    prompt = jnp.asarray(
+        np.random.default_rng(9).integers(0, 50, size=(8, 5)), jnp.int32
+    )
+    want = generate(model.params, model.config, prompt, 6,
+                    temperature=1.0, top_k=3, rng=jax.random.key(4))
+
+    mesh = build_mesh(dp=8, tp=1)
+    sharded = jax.device_put(prompt, NamedSharding(mesh, P("dp", None)))
+    params = jax.device_put(
+        model.params, NamedSharding(mesh, P()))  # replicated
+    fn = jax.jit(lambda pr, pm: generate(
+        pm, model.config, pr, 6, temperature=1.0, top_k=3,
+        rng=jax.random.key(4)))
+    got = fn(sharded, params)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

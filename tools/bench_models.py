@@ -1,0 +1,131 @@
+"""Train-step throughput sweep across model families/sizes on the real TPU.
+
+Extends bench.py's headline (ViT-B/16) with ViT-Large, ViT-Huge and a
+GPT2-small causal-LM step, each against its own analytic bf16 roofline.
+Run from the repo root:  python tools/bench_models.py [vit_base vit_large ...]
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bench import detect_peak
+
+WARMUP, STEPS = 3, 10
+
+
+def vit_flops(emb, layers, tokens, patch, image=224, chans=3):
+    per_layer = 12 * emb * emb + 2 * tokens * emb  # matmul + attention MACs/token
+    patchify = patch * patch * chans * emb
+    return 2 * tokens * (layers * per_layer + patchify)  # fwd FLOPs/img
+
+
+def gpt2_flops(emb=768, layers=12, seq=1024, vocab=50257):
+    per_tok = layers * (12 * emb * emb + 2 * (seq // 2) * emb) + emb * vocab
+    return 2 * seq * per_tok  # fwd FLOPs per sequence
+
+
+def bench_vit(name, batch, remat=False):
+    from vitef_tpu.models import build_model
+    from vitef_tpu.optim import build_optimizer, build_scheduler
+    from vitef_tpu.parallel import init_train_state, make_train_step
+
+    patch = 14 if name == "huge" else 16
+    model = build_model(dict(
+        implementation="vit", model_name=name, patch_size=patch,
+        image_dim=(3, 224, 224), pretrained=False, finetuning=True,
+        n_classes=10, compute_dtype="bfloat16", remat=remat),
+        key=jax.random.key(0))
+    cfg = model.config
+    tokens = (224 // patch) ** 2 + 1
+    fwd = vit_flops(cfg.emb_dim, cfg.n_layers, tokens, patch)
+
+    schedule = build_scheduler({"scheduler": "cosine", "warmup": 100}, n_steps=1000)
+    tx, _ = build_optimizer({"optimizer": "sgd", "lr": 0.01, "momentum": 0.9},
+                            schedule=schedule, grad_clip=1.0)
+    step_fn = make_train_step(model.apply, tx, schedule=schedule, base_lr=0.01)
+    state = init_train_state(model.params, tx)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(batch, 3, 224, 224)), jnp.bfloat16)
+    y = jnp.asarray(rng.integers(0, 10, size=(batch,)), jnp.int32)
+
+    for _ in range(WARMUP):
+        state, m = step_fn(state, (x, y))
+    float(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        state, m = step_fn(state, (x, y))
+    float(m["loss"])
+    dt = time.perf_counter() - t0
+
+    ips = batch * STEPS / dt
+    roof = detect_peak() / (3 * fwd)
+    print(json.dumps({
+        "metric": f"vit_{name}_train_throughput", "value": round(ips, 1),
+        "unit": "images/sec/chip", "batch": batch,
+        "ms_per_step": round(dt / STEPS * 1000, 1),
+        "vs_roofline": round(ips / roof, 4)}), flush=True)
+
+
+def bench_gpt2(batch=8):
+    from vitef_tpu.models import build_model
+    from vitef_tpu.optim import build_optimizer, build_scheduler
+    from vitef_tpu.parallel import init_train_state, make_train_step
+
+    model = build_model(dict(
+        implementation="gpt2", model_name="base", pretrained=False,
+        compute_dtype="bfloat16"), key=jax.random.key(0))
+    seq = model.config.seq_len
+
+    def lm_loss(logits, labels):
+        # next-token CE: logits (N, L, V) predict labels shifted left
+        lp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), axis=-1)
+        tgt = labels[:, 1:]
+        nll = -jnp.take_along_axis(lp, tgt[..., None], axis=-1)[..., 0]
+        return jnp.mean(nll)
+
+    schedule = build_scheduler({"scheduler": "cosine", "warmup": 100}, n_steps=1000)
+    tx, _ = build_optimizer({"optimizer": "adamw", "lr": 3e-4},
+                            schedule=schedule, grad_clip=1.0)
+    step_fn = make_train_step(model.apply, tx, loss_fn=lm_loss,
+                              schedule=schedule, base_lr=3e-4)
+    state = init_train_state(model.params, tx)
+
+    rng = np.random.default_rng(0)
+    toks = jnp.asarray(rng.integers(0, 50257, size=(batch, seq)), jnp.int32)
+
+    for _ in range(WARMUP):
+        state, m = step_fn(state, (toks, toks))
+    float(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        state, m = step_fn(state, (toks, toks))
+    float(m["loss"])
+    dt = time.perf_counter() - t0
+
+    tps = batch * seq * STEPS / dt
+    roof = detect_peak() / (3 * gpt2_flops() / seq)
+    print(json.dumps({
+        "metric": "gpt2_small_train_throughput", "value": round(tps, 0),
+        "unit": "tokens/sec/chip", "batch": batch, "seq": seq,
+        "ms_per_step": round(dt / STEPS * 1000, 1),
+        "vs_roofline": round(tps / roof, 4)}), flush=True)
+
+
+if __name__ == "__main__":
+    which = sys.argv[1:] or ["vit_base", "vit_large", "vit_huge", "gpt2"]
+    if "vit_base" in which:
+        bench_vit("base", 256)
+    if "vit_large" in which:
+        bench_vit("large", 128)
+    if "vit_huge" in which:
+        bench_vit("huge", 32)  # fits without remat; remat@64 measured 17% slower
+    if "gpt2" in which:
+        bench_gpt2(batch=16)  # measured best of {8, 16, 32}
