@@ -140,9 +140,9 @@ def test_model_generate_convenience_and_jit_cache():
     got = model.generate(model.params, prompt, 4, temperature=0.0)
     want = naive_greedy(model, prompt, 4)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
-    fn1 = model.__dict__["_generate_cache"][(4, 0.0, None, True, False)]
+    fn1 = model.__dict__["_generate_cache"][(4, 0.0, None, True, False, None)]
     model.generate(model.params, prompt, 4, temperature=0.0)
-    assert model.__dict__["_generate_cache"][(4, 0.0, None, True, False)] is fn1
+    assert model.__dict__["_generate_cache"][(4, 0.0, None, True, False, None)] is fn1
 
 
 def test_left_padded_ragged_batch_matches_unpadded():
@@ -244,3 +244,86 @@ def test_generate_batch_sharded_over_dp_mesh():
         rng=jax.random.key(4)))
     got = fn(sharded, params)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_generate_tensor_parallel_sharded_params():
+    """Serving a TP-sharded model: params sharded by the training TP rules
+    (qkv/fc1 column-parallel, output/fc2 row-parallel) on a dp=2 x tp=4 mesh,
+    prompt sharded over dp. pjit propagates the head sharding through the
+    prefill and the decode scan's KV cache and inserts the row-parallel
+    psums — output must equal the unsharded generation exactly."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from vitef_tpu.parallel import build_mesh, shard_params
+
+    model = tiny_decoder()
+    prompt = jnp.asarray(
+        np.random.default_rng(10).integers(0, 50, size=(4, 5)), jnp.int32
+    )
+    want = generate(model.params, model.config, prompt, 6, temperature=0.0)
+
+    mesh = build_mesh(dp=2, tp=4)
+    params = shard_params(model.params, mesh)
+    sp = jax.device_put(prompt, NamedSharding(mesh, P("dp", None)))
+    fn = jax.jit(lambda pr, pm: generate(pm, model.config, pr, 6,
+                                         temperature=0.0))
+    got = fn(sp, params)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_int8_kv_cache_quantization():
+    """quantize_kv roundtrip error is bounded by scale/2 per element, and the
+    int8-cache attention tracks the full-precision one closely."""
+    from vitef_tpu.models.generation import _attend_cached, quantize_kv
+
+    rng = np.random.default_rng(5)
+    t = jnp.asarray(rng.standard_normal((3, 4, 16, 8)), jnp.float32)
+    q8, scale = quantize_kv(t)
+    assert q8.dtype == jnp.int8 and scale.shape == (3, 4, 16)
+    deq = q8.astype(jnp.float32) * scale[..., None]
+    err = np.abs(np.asarray(deq - t))
+    assert (err <= np.asarray(scale)[..., None] / 2 + 1e-7).all()
+
+    qv = jnp.asarray(rng.standard_normal((3, 4 * 8)), jnp.float32)
+    want = _attend_cached(qv, t, t, 4, jnp.int32(15))
+    k8, ks = quantize_kv(t)
+    got = _attend_cached(qv, k8, k8, 4, jnp.int32(15), None, ks, ks)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=5e-2, rtol=5e-2)
+
+
+def test_int8_kv_cache_generate():
+    """generate(kv_cache_dtype='int8'): valid tokens, deterministic, and
+    greedy decode agrees with the full-precision cache on a large majority of
+    steps (quantization may flip near-ties, never the distribution shape)."""
+    model = tiny_decoder()
+    prompt = jnp.asarray(
+        np.random.default_rng(11).integers(0, 50, size=(4, 5)), jnp.int32
+    )
+    full = generate(model.params, model.config, prompt, 8, temperature=0.0)
+    q = generate(model.params, model.config, prompt, 8, temperature=0.0,
+                 kv_cache_dtype="int8")
+    a = generate(model.params, model.config, prompt, 8, temperature=0.0,
+                 kv_cache_dtype="int8")
+    np.testing.assert_array_equal(np.asarray(q), np.asarray(a))  # deterministic
+    arr = np.asarray(q)
+    assert ((arr >= 0) & (arr < 50)).all()
+    agree = float(np.mean(arr == np.asarray(full)))
+    assert agree >= 0.5, f"int8 greedy agreement suspiciously low: {agree}"
+
+    # ragged-prompt int8 path exercises the masked prefill quantization
+    mask = jnp.asarray([[False, True, True, True, True]] * 4)
+    r = generate(model.params, model.config, prompt, 4, temperature=0.0,
+                 prompt_mask=mask, kv_cache_dtype="int8")
+    assert r.shape == (4, 4)
+
+
+def test_init_kv_cache_int8_layout():
+    from vitef_tpu.models.generation import init_kv_cache
+
+    model = tiny_decoder()
+    cache = init_kv_cache(model.config, 2, 12, kv_cache_dtype="int8")
+    assert cache[0]["k"].dtype == jnp.int8
+    assert cache[0]["k_scale"].shape == (2, 4, 12)
+    with pytest.raises(ValueError, match="int8"):
+        init_kv_cache(model.config, 2, 12, kv_cache_dtype="fp8")

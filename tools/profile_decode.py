@@ -25,6 +25,8 @@ MODES = {
     "approx": dict(temperature=0.8, top_k=40, approx_top_k=True),
     "cat": dict(temperature=0.8),
     "greedy": dict(temperature=0.0),
+    "greedy_int8": dict(temperature=0.0, kv_cache_dtype="int8"),
+    "topk_int8": dict(temperature=0.8, top_k=40, kv_cache_dtype="int8"),
 }
 
 

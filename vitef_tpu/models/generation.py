@@ -55,18 +55,33 @@ def _check_decoder(cfg: TransformerConfig) -> None:
         raise ValueError("batch-norm models are not supported for decoding")
 
 
-def init_kv_cache(cfg: TransformerConfig, batch: int, max_len: int) -> list[dict]:
-    """Per-layer K/V buffers in the compute dtype.
+def init_kv_cache(cfg: TransformerConfig, batch: int, max_len: int,
+                  kv_cache_dtype: str | None = None) -> list[dict]:
+    """Per-layer K/V buffers in the compute dtype (or quantized int8).
 
     Layout is HEAD-SPLIT — (batch, n_heads, max_len, head_dim) — so decode
     steps read the cache directly in the attention einsum layout: a
     (batch, max_len, emb) layout would force a full-cache head-split
     transpose every step, tripling the per-token HBM traffic of the
-    bandwidth-bound decode loop."""
+    bandwidth-bound decode loop.
+
+    ``kv_cache_dtype="int8"`` stores symmetric per-row int8 values plus
+    ``k_scale``/``v_scale`` (batch, n_heads, max_len) f32 entries — half the
+    cache bandwidth and memory (see :func:`quantize_kv`)."""
     cd = cfg.cdtype()
     shape = (batch, cfg.n_heads, max_len, cfg.emb_dim // cfg.n_heads)
+    if kv_cache_dtype is None:
+        return [
+            {"k": jnp.zeros(shape, cd), "v": jnp.zeros(shape, cd)}
+            for _ in range(cfg.n_layers)
+        ]
+    if kv_cache_dtype != "int8":
+        raise ValueError(f"kv_cache_dtype must be None or 'int8', got {kv_cache_dtype!r}")
+    sshape = shape[:3]
     return [
-        {"k": jnp.zeros(shape, cd), "v": jnp.zeros(shape, cd)}
+        {"k": jnp.zeros(shape, jnp.int8), "v": jnp.zeros(shape, jnp.int8),
+         "k_scale": jnp.zeros(sshape, jnp.float32),
+         "v_scale": jnp.zeros(sshape, jnp.float32)}
         for _ in range(cfg.n_layers)
     ]
 
@@ -77,27 +92,62 @@ def _split_heads(t, n_heads: int):
     return t.reshape(n, l, n_heads, e // n_heads).transpose(0, 2, 1, 3)
 
 
-def _attend_cached(q, k_cache, v_cache, n_heads: int, pos, key_mask=None):
+def quantize_kv(t):
+    """Symmetric per-row int8 quantization of (..., d) K/V vectors.
+
+    Returns ``(int8 values, f32 scales (...,))`` with ``t ≈ values * scales``.
+    One scale per (sample, head, position) row — the granularity that keeps
+    dequantization OUT of the attention einsums: K's scale multiplies the
+    (N, h, 1, L) scores AFTER the QK contraction and V's scale folds into the
+    softmax weights BEFORE the AV contraction, so the cache is only ever read
+    as int8 (half the HBM traffic of the bf16 cache — decode's bound).
+    """
+    scale = jnp.max(jnp.abs(t.astype(jnp.float32)), axis=-1) / 127.0
+    scale = jnp.maximum(scale, 1e-8)
+    q = jnp.round(t.astype(jnp.float32) / scale[..., None])
+    return jnp.clip(q, -127, 127).astype(jnp.int8), scale
+
+
+def _attend_cached(q, k_cache, v_cache, n_heads: int, pos, key_mask=None,
+                   k_scale=None, v_scale=None):
     """One-token attention against the (N, h, Lmax, d) cache.
 
     q: (N, E) for the token at position ``pos``. Positions > pos are masked
     (cache slots not yet written); ``key_mask`` (N, Lmax) additionally masks
     left-padding slots of ragged prompts. fp32 softmax, matmul precision
     follows the training path (best_precision).
+
+    int8 caches (``kv_cache_dtype="int8"``) carry per-row f32 scales
+    (N, h, Lmax): K's scale is applied to the (N, h, 1, Lmax) scores after
+    the contraction and V's folds into the softmax weights, so the cache is
+    read as int8 — halving decode's dominant HBM traffic. int8 operands are
+    converted to the compute dtype inside the einsum fusion (values ≤ 127
+    are exact in bf16).
     """
     n, h, lmax, d = k_cache.shape
+    quantized = k_cache.dtype == jnp.int8
+    cd = q.dtype
+    kc = k_cache.astype(cd) if quantized else k_cache
     qh = q.reshape(n, n_heads, 1, d)
-    scores = jnp.einsum("nhqd,nhkd->nhqk", qh, k_cache,
-                        precision=best_precision(qh, k_cache),
+    scores = jnp.einsum("nhqd,nhkd->nhqk", qh, kc,
+                        precision=best_precision(qh, kc),
                         preferred_element_type=jnp.float32)
+    if quantized:
+        scores = scores * k_scale[:, :, None, :]
     scores = scores * (1.0 / math.sqrt(d))
     valid = jnp.arange(lmax)[None, :] <= pos  # (1, Lmax)
     if key_mask is not None:
         valid = jnp.logical_and(valid, key_mask)  # (N, Lmax)
     scores = jnp.where(valid[:, None, None, :], scores, _NEG_INF)
-    weights = jax.nn.softmax(scores, axis=-1).astype(v_cache.dtype)
-    out = jnp.einsum("nhqk,nhkd->nhqd", weights, v_cache,
-                     precision=best_precision(weights, v_cache),
+    weights = jax.nn.softmax(scores, axis=-1)
+    if quantized:
+        weights = (weights * v_scale[:, :, None, :]).astype(cd)
+        vc = v_cache.astype(cd)
+    else:
+        weights = weights.astype(v_cache.dtype)
+        vc = v_cache
+    out = jnp.einsum("nhqk,nhkd->nhqd", weights, vc,
+                     precision=best_precision(weights, vc),
                      preferred_element_type=jnp.float32).astype(q.dtype)
     return out.transpose(0, 2, 1, 3).reshape(n, h * d)
 
@@ -182,16 +232,23 @@ def _block_decode(bp: dict, cfg: TransformerConfig, x, layer_cache: dict, pos,
         n, e = k.shape
         d = e // cfg.n_heads
         # (N, E) -> (N, h, 1, d): E is head-major, matching the cache layout.
-        kc = jax.lax.dynamic_update_slice(
-            layer_cache["k"],
-            k.reshape(n, cfg.n_heads, 1, d).astype(layer_cache["k"].dtype),
-            (0, 0, pos, 0))
-        vc = jax.lax.dynamic_update_slice(
-            layer_cache["v"],
-            v.reshape(n, cfg.n_heads, 1, d).astype(layer_cache["v"].dtype),
-            (0, 0, pos, 0))
-        z = _attend_cached(q, kc, vc, cfg.n_heads, pos, key_mask)
-        return _linear(bp["attn"]["output"], z, cd), {"k": kc, "v": vc}
+        kh = k.reshape(n, cfg.n_heads, 1, d)
+        vh = v.reshape(n, cfg.n_heads, 1, d)
+        cache = {}
+        if layer_cache["k"].dtype == jnp.int8:
+            kh, ks = quantize_kv(kh)
+            vh, vs = quantize_kv(vh)
+            cache["k_scale"] = jax.lax.dynamic_update_slice(
+                layer_cache["k_scale"], ks, (0, 0, pos))
+            cache["v_scale"] = jax.lax.dynamic_update_slice(
+                layer_cache["v_scale"], vs, (0, 0, pos))
+        cache["k"] = jax.lax.dynamic_update_slice(
+            layer_cache["k"], kh.astype(layer_cache["k"].dtype), (0, 0, pos, 0))
+        cache["v"] = jax.lax.dynamic_update_slice(
+            layer_cache["v"], vh.astype(layer_cache["v"].dtype), (0, 0, pos, 0))
+        z = _attend_cached(q, cache["k"], cache["v"], cfg.n_heads, pos, key_mask,
+                           cache.get("k_scale"), cache.get("v_scale"))
+        return _linear(bp["attn"]["output"], z, cd), cache
 
     if cfg.pre_norm:
         att, cache = attn(_norm(bp["attn_norm"], cfg, x))
@@ -228,7 +285,7 @@ def _embed_token(params: dict, cfg: TransformerConfig, token, positions):
 
 
 def prefill(params: dict, cfg: TransformerConfig, prompt, max_len: int,
-            prompt_mask=None):
+            prompt_mask=None, kv_cache_dtype: str | None = None):
     """Batched causal forward over the prompt, materialising the KV cache.
 
     ``prompt``: (N, P) int32 token ids. Ragged batches are LEFT-padded to a
@@ -251,14 +308,24 @@ def prefill(params: dict, cfg: TransformerConfig, prompt, max_len: int,
             positions = jnp.maximum(
                 jnp.cumsum(prompt_mask.astype(jnp.int32), axis=1) - 1, 0)
             x = x + emb["pos_emb"][0][positions].astype(cd)
+    if kv_cache_dtype not in (None, "int8"):
+        raise ValueError(f"kv_cache_dtype must be None or 'int8', got {kv_cache_dtype!r}")
     cache = []
     pad = ((0, 0), (0, 0), (0, max_len - p), (0, 0))
     for bp in params["blocks"]:
         x, k, v = _block_prefill(bp, cfg, x, prompt_mask)
-        cache.append({
-            "k": jnp.pad(_split_heads(k.astype(cd), cfg.n_heads), pad),
-            "v": jnp.pad(_split_heads(v.astype(cd), cfg.n_heads), pad),
-        })
+        kh = _split_heads(k.astype(cd), cfg.n_heads)
+        vh = _split_heads(v.astype(cd), cfg.n_heads)
+        if kv_cache_dtype == "int8":
+            kq, ks = quantize_kv(kh)
+            vq, vs = quantize_kv(vh)
+            spad = ((0, 0), (0, 0), (0, max_len - p))
+            cache.append({
+                "k": jnp.pad(kq, pad), "v": jnp.pad(vq, pad),
+                "k_scale": jnp.pad(ks, spad), "v_scale": jnp.pad(vs, spad),
+            })
+        else:
+            cache.append({"k": jnp.pad(kh, pad), "v": jnp.pad(vh, pad)})
     return _logits(params, cfg, x[:, -1, :]), cache
 
 
@@ -291,7 +358,8 @@ def sample_token(logits, rng, temperature: float = 1.0, top_k: int | None = None
 
 def generate(params: dict, cfg: TransformerConfig, prompt, max_new_tokens: int,
              *, temperature: float = 1.0, top_k: int | None = None, rng=None,
-             prompt_mask=None, approx_top_k: bool = False):
+             prompt_mask=None, approx_top_k: bool = False,
+             kv_cache_dtype: str | None = None):
     """Generate ``max_new_tokens`` tokens after ``prompt``.
 
     ``prompt``: (N, P) int32. Ragged batches are LEFT-padded to the shared
@@ -300,6 +368,12 @@ def generate(params: dict, cfg: TransformerConfig, prompt, max_new_tokens: int,
     embeddings follow each sample's logical positions, so the result matches
     generating each sample unpadded. Returns (N, max_new_tokens) int32. Pure
     and jittable — ``max_new_tokens``/``temperature``/``top_k`` are static.
+
+    ``kv_cache_dtype="int8"`` stores the KV cache as per-row symmetric int8
+    (+f32 scales): half the decode HBM traffic and cache memory, at a ~1%
+    quantization error on K/V rows (see :func:`quantize_kv`). Sampling-level
+    behaviour is preserved; exact greedy parity is only guaranteed by the
+    full-precision cache (the default).
     """
     _check_decoder(cfg)
     n, p = prompt.shape
@@ -322,7 +396,8 @@ def generate(params: dict, cfg: TransformerConfig, prompt, max_new_tokens: int,
             [prompt_mask.astype(bool),
              jnp.ones((n, max_new_tokens), bool)], axis=1)
 
-    last_logits, cache = prefill(params, cfg, prompt, total, prompt_mask)
+    last_logits, cache = prefill(params, cfg, prompt, total, prompt_mask,
+                                 kv_cache_dtype)
     rng, r0 = jax.random.split(rng)
     first = sample_token(last_logits, r0, temperature, top_k, approx_top_k)
     if max_new_tokens == 1:

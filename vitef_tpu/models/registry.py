@@ -46,7 +46,8 @@ class Model:
 
     def generate(self, params, prompt, max_new_tokens: int, *,
                  temperature: float = 1.0, top_k: int | None = None, rng=None,
-                 prompt_mask=None, approx_top_k: bool = False):
+                 prompt_mask=None, approx_top_k: bool = False,
+                 kv_cache_dtype: str | None = None):
         """KV-cache autoregressive decoding (see models/generation.py).
 
         The jitted program is cached per (max_new_tokens, temperature, top_k)
@@ -55,14 +56,14 @@ class Model:
         from .generation import generate as _generate
 
         key = (max_new_tokens, temperature, top_k, prompt_mask is None,
-               approx_top_k)
+               approx_top_k, kv_cache_dtype)
         cache = self.__dict__.setdefault("_generate_cache", {})
         fn = cache.get(key)
         if fn is None:
             fn = cache[key] = jax.jit(functools.partial(
                 _generate, cfg=self.config, max_new_tokens=max_new_tokens,
                 temperature=temperature, top_k=top_k,
-                approx_top_k=approx_top_k))
+                approx_top_k=approx_top_k, kv_cache_dtype=kv_cache_dtype))
         if rng is None:
             rng = jax.random.key(0)
         if prompt_mask is None:
