@@ -327,3 +327,54 @@ class TestFastTopK:
         rv, ri = jax.lax.top_k(x, 6)
         np.testing.assert_array_equal(np.asarray(vals), np.asarray(rv))
         np.testing.assert_array_equal(np.asarray(idx), np.asarray(ri))
+
+
+class TestPackedCausalBlocked:
+    """Block-triangular causal packed kernel (L >= 512, L % 256 == 0) vs the
+    XLA reference — forward and the blocked backward."""
+
+    def test_fwd_and_grads_match_reference(self):
+        from vitef_tpu.ops.attention import (
+            _causal_q_block, attention_reference, fused_mha_packed)
+
+        n, h, l, d = 1, 2, 512, 16
+        assert _causal_q_block(l, True) == 256  # blocked path engaged
+        e = h * d
+        rng = np.random.default_rng(21)
+        qkv = jnp.asarray(rng.normal(size=(n, l, 3 * e)) * 0.5, jnp.float32)
+        bias = jnp.asarray(rng.normal(size=(3 * e,)) * 0.1, jnp.float32)
+        g = jnp.asarray(rng.normal(size=(n, l, e)), jnp.float32)
+
+        def ref_fn(qkv, bias):
+            q, k, v = jnp.split(qkv + bias, 3, axis=-1)
+            q, k, v = (t.reshape(n, l, h, d).transpose(0, 2, 1, 3)
+                       for t in (q, k, v))
+            o = attention_reference(q, k, v, causal=True)
+            return o.transpose(0, 2, 1, 3).reshape(n, l, e)
+
+        with pltpu.force_tpu_interpret_mode():
+            out = fused_mha_packed(qkv, h, causal=True, bias=bias)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref_fn(qkv, bias)),
+                                   atol=2e-5, rtol=1e-4)
+
+        def loss_packed(qkv, bias):
+            return (fused_mha_packed(qkv, h, causal=True, bias=bias) * g).sum()
+
+        def loss_ref(qkv, bias):
+            return (ref_fn(qkv, bias) * g).sum()
+
+        with pltpu.force_tpu_interpret_mode():
+            dq_p, db_p = jax.grad(loss_packed, argnums=(0, 1))(qkv, bias)
+        dq_r, db_r = jax.grad(loss_ref, argnums=(0, 1))(qkv, bias)
+        np.testing.assert_allclose(np.asarray(dq_p), np.asarray(dq_r),
+                                   atol=1e-4, rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(db_p), np.asarray(db_r),
+                                   atol=1e-3, rtol=1e-3)
+
+    def test_gate(self):
+        from vitef_tpu.ops.attention import _causal_q_block
+
+        assert _causal_q_block(197, True) is None     # ViT length
+        assert _causal_q_block(512, False) is None    # non-causal
+        assert _causal_q_block(1024, True) == 256     # GPT2
+        assert _causal_q_block(300, True) is None     # not block-aligned

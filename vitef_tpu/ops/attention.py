@@ -85,10 +85,43 @@ def attention_reference(q, k, v, *, causal: bool = False, kv_len: int | None = N
 # B=256 H=12 L=197 D=64 — the d=64 MXU-padding floor is ~2.1 ms).
 
 
-def _packed_mha_fwd_kernel(qkv_ref, b_ref, o_ref, *, scale, n_heads, d, causal):
+def _packed_mha_fwd_kernel(qkv_ref, b_ref, o_ref, *, scale, n_heads, d, causal,
+                           q_block=None):
     qkv = qkv_ref[...] + b_ref[...]  # (L, 3E); qkv bias folded in-kernel
     l = qkv.shape[0]
     e = n_heads * d
+    if causal and q_block:
+        # Block-triangular causal path: q-block i's scores are a SINGLE
+        # (BQ, (i+1)·BQ) matmul against the static key PREFIX — the upper
+        # triangle is never computed (≈2x less attention FLOPs at long L;
+        # the full-L path pays it and masks). Only the diagonal block needs
+        # an in-block causal mask.
+        nq = l // q_block
+        outs = []
+        for h in range(n_heads):
+            qh = qkv[:, h * d:(h + 1) * d]
+            kh = qkv[:, e + h * d:e + (h + 1) * d]
+            vh = qkv[:, 2 * e + h * d:2 * e + (h + 1) * d]
+            blocks = []
+            for qi in range(nq):
+                kv_len = (qi + 1) * q_block
+                qb = qh[qi * q_block:kv_len]
+                s = jax.lax.dot_general(
+                    qb, kh[:kv_len], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale
+                qp = qi * q_block + jax.lax.broadcasted_iota(
+                    jnp.int32, (q_block, kv_len), 0)
+                kp = jax.lax.broadcasted_iota(jnp.int32, (q_block, kv_len), 1)
+                s = jnp.where(kp <= qp, s, _NEG_INF)
+                m = jnp.max(s, axis=-1, keepdims=True)
+                p = jnp.exp(s - m)
+                denom = jnp.sum(p, axis=-1, keepdims=True)
+                o = jnp.dot(p.astype(vh.dtype), vh[:kv_len],
+                            preferred_element_type=jnp.float32)
+                blocks.append((o / denom).astype(o_ref.dtype))
+            outs.append(jnp.concatenate(blocks, axis=0))
+        o_ref[...] = jnp.concatenate(outs, axis=-1)
+        return
     mask = None
     if causal:
         qp = jax.lax.broadcasted_iota(jnp.int32, (l, l), 0)
@@ -109,6 +142,72 @@ def _packed_mha_fwd_kernel(qkv_ref, b_ref, o_ref, *, scale, n_heads, d, causal):
         o = jnp.dot(p.astype(vh.dtype), vh, preferred_element_type=jnp.float32)
         outs.append((o / denom).astype(o_ref.dtype))
     o_ref[...] = jnp.concatenate(outs, axis=-1)
+
+
+def _packed_mha_bwd_causal_blocked_kernel(qkv_ref, b_ref, g_ref, dqkv_ref,
+                                          db_ref, *, scale, n_heads, d,
+                                          q_block):
+    """Block-triangular causal backward: per q-block, recompute the softmax
+    STRIP (BQ, (qi+1)·BQ) against the static key prefix and run the gradient
+    algebra on the strip only — the upper triangle is never touched (the
+    full-L backward computes and masks it). dk/dv accumulate per-head in a
+    zero-padded (L, d) f32 buffer via static-slice adds.
+    """
+    qkv = qkv_ref[...] + b_ref[...]  # (L, 3E)
+    g = g_ref[...]  # (L, E)
+    l = qkv.shape[0]
+    e = n_heads * d
+    nq = l // q_block
+    dqs, dks, dvs = [], [], []
+    for h in range(n_heads):
+        qh = qkv[:, h * d:(h + 1) * d]
+        kh = qkv[:, e + h * d:e + (h + 1) * d]
+        vh = qkv[:, 2 * e + h * d:2 * e + (h + 1) * d]
+        gh = g[:, h * d:(h + 1) * d]
+        dq_blocks = []
+        dk_acc = jnp.zeros((l, d), jnp.float32)
+        dv_acc = jnp.zeros((l, d), jnp.float32)
+        for qi in range(nq):
+            kv_len = (qi + 1) * q_block
+            qb = qh[qi * q_block:kv_len]
+            gb = gh[qi * q_block:kv_len]
+            s = jax.lax.dot_general(
+                qb, kh[:kv_len], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            qp = qi * q_block + jax.lax.broadcasted_iota(
+                jnp.int32, (q_block, kv_len), 0)
+            kp = jax.lax.broadcasted_iota(jnp.int32, (q_block, kv_len), 1)
+            s = jnp.where(kp <= qp, s, _NEG_INF)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            ex = jnp.exp(s - m)
+            p = ex / jnp.sum(ex, axis=-1, keepdims=True)  # (BQ, kv_len)
+            pb = p.astype(qkv.dtype)
+            dv = jax.lax.dot_general(pb, gb, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            dp = jax.lax.dot_general(gb, vh[:kv_len], (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            delta = jnp.sum(p * dp, axis=-1, keepdims=True)
+            ds = (p * (dp - delta) * scale).astype(qkv.dtype)
+            dq_blocks.append(jnp.dot(ds, kh[:kv_len],
+                                     preferred_element_type=jnp.float32))
+            dk = jax.lax.dot_general(ds, qb, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            # static-shape accumulate (scatter/.at[] captures consts in pallas)
+            tail = ((0, l - kv_len), (0, 0))
+            dk_acc = dk_acc + jnp.pad(dk, tail)
+            dv_acc = dv_acc + jnp.pad(dv, tail)
+        dqs.append(jnp.concatenate(dq_blocks, axis=0).astype(dqkv_ref.dtype))
+        dks.append(dk_acc.astype(dqkv_ref.dtype))
+        dvs.append(dv_acc.astype(dqkv_ref.dtype))
+    dqkv = jnp.concatenate(dqs + dks + dvs, axis=-1)
+    dqkv_ref[...] = dqkv
+    partial_db = jnp.sum(dqkv.astype(jnp.float32), axis=0, keepdims=True)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        db_ref[...] = jnp.zeros_like(db_ref)
+
+    db_ref[...] += partial_db
 
 
 def _packed_mha_bwd_kernel(qkv_ref, b_ref, g_ref, dqkv_ref, db_ref, *,
@@ -186,13 +285,23 @@ def _packed_mha_bwd_kernel(qkv_ref, b_ref, g_ref, dqkv_ref, db_ref, *,
     db_ref[...] += partial_db
 
 
+def _causal_q_block(l: int, causal: bool) -> int | None:
+    """Block size for the block-triangular causal path (None = full-L path).
+
+    256 is the MXU-friendly strip height; below 2 blocks there is no upper
+    triangle to skip. Short/odd lengths keep the (already fast) full path."""
+    if causal and l % 256 == 0 and l >= 512:
+        return 256
+    return None
+
+
 def _packed_call_fwd(qkv, bias2d, n_heads, causal):
     n, l, f = qkv.shape
     e = f // 3
     d = e // n_heads
     kernel = functools.partial(
         _packed_mha_fwd_kernel, scale=1.0 / math.sqrt(d), n_heads=n_heads,
-        d=d, causal=causal,
+        d=d, causal=causal, q_block=_causal_q_block(l, causal),
     )
     return pl.pallas_call(
         kernel,
@@ -229,10 +338,17 @@ def _packed_mha_bwd(n_heads, causal, residuals, g):
     n, l, f = qkv.shape
     e = f // 3
     d = e // n_heads
-    kernel = functools.partial(
-        _packed_mha_bwd_kernel, scale=1.0 / math.sqrt(d), n_heads=n_heads,
-        d=d, causal=causal,
-    )
+    qb = _causal_q_block(l, causal)
+    if qb:
+        kernel = functools.partial(
+            _packed_mha_bwd_causal_blocked_kernel, scale=1.0 / math.sqrt(d),
+            n_heads=n_heads, d=d, q_block=qb,
+        )
+    else:
+        kernel = functools.partial(
+            _packed_mha_bwd_kernel, scale=1.0 / math.sqrt(d), n_heads=n_heads,
+            d=d, causal=causal,
+        )
     spec3 = pl.BlockSpec((None, l, f), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM)
     spec1 = pl.BlockSpec((None, l, e), lambda b: (b, 0, 0),
