@@ -270,6 +270,14 @@ def train(config: TrainingConfig) -> None:
         iterator = iter(make_iterable(train_loader))
         rng = jax.random.key(config.seed)
 
+        # Preemption safety (beyond the reference, SURVEY §5.3): SIGTERM sets
+        # a flag; the loop below checkpoints the CURRENT state and exits
+        # cleanly, and the next launch auto-resumes from that step.
+        from vitef_tpu.monitor.preemption import PreemptionGuard
+
+        preempt = context_stack.enter_context(PreemptionGuard())
+        preempted = False
+
         # Python-side step mirror: avoids a device sync on state.step per
         # iteration (the jitted step keeps the device queue full).
         py_step = current_step
@@ -293,6 +301,15 @@ def train(config: TrainingConfig) -> None:
 
             utils()
             checkpoint()
+
+            if preempt.requested:
+                logger.info(
+                    f"Preemption requested: saving checkpoint at step {step} "
+                    "and exiting (resume will continue from here)."
+                )
+                checkpoint.update()
+                preempted = True
+                break
 
             # -- log metrics (device sync only at logging period) ----------
             if (logging_period > 0) and (step % logging_period == 0):
@@ -329,10 +346,12 @@ def train(config: TrainingConfig) -> None:
                     checkpoint.update()
 
         # Ensure the surviving checkpoint is the best evaluated model
-        # (reference train.py:343 + checkpoint.py:142-148)
-        checkpoint.sync_step(best_eval_step)
+        # (reference train.py:343 + checkpoint.py:142-148). On preemption the
+        # LATEST state must survive instead — no best-step rewind.
+        if not preempted:
+            checkpoint.sync_step(best_eval_step)
 
-    logger.info("Training done.")
+    logger.info("Training preempted." if preempted else "Training done.")
 
 
 def main() -> None:

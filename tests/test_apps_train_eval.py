@@ -213,3 +213,66 @@ def test_block_grad_norm_logging(env):
     # tiny ViT preset has a known layer count; at least block 0 is present
     assert "grad_norm_block_0" in train_recs[0]
     assert train_recs[0]["grad_norm_block_0"] > 0
+
+
+def test_preemption_guard_real_signal():
+    """SIGTERM sets the flag (handler installed/restored), KeyboardInterrupt
+    semantics untouched."""
+    import os
+    import signal
+    import threading
+    import time
+
+    from vitef_tpu.monitor.preemption import PreemptionGuard
+
+    before = signal.getsignal(signal.SIGTERM)
+    with PreemptionGuard() as guard:
+        assert not guard.requested
+        threading.Timer(0.05, os.kill, (os.getpid(), signal.SIGTERM)).start()
+        deadline = time.time() + 5
+        while not guard.requested and time.time() < deadline:
+            time.sleep(0.01)
+        assert guard.requested
+    assert signal.getsignal(signal.SIGTERM) is before
+
+
+def test_train_preemption_checkpoint_and_resume(env):
+    """Preempted training saves the CURRENT step (no best-step rewind) and a
+    relaunch auto-resumes from it to completion (SURVEY §5.3 gap closed)."""
+    from _pytest.monkeypatch import MonkeyPatch
+
+    import vitef_tpu.monitor.preemption as pre
+    from apps.vit.train import train
+
+    class FakeGuard(pre.PreemptionGuard):
+        polls = 0
+
+        @property
+        def requested(self):
+            FakeGuard.polls += 1
+            return FakeGuard.polls > 3  # preempt right after step 3
+
+    # local patcher: the shared `monkeypatch` fixture also carries env's
+    # SAVING_DIR redirection — undo() on it would unredirect the run dir
+    mp = MonkeyPatch()
+    mp.setattr(pre, "PreemptionGuard", FakeGuard)
+    cfg = _train_config(env, log_dir="preempt", n_steps=30, eval_period=2)
+    try:
+        train(cfg)
+    finally:
+        mp.undo()
+
+    run = env / "savings" / "runs" / "preempt"
+    ckpts = sorted(p.name for p in (run / "checkpoints").iterdir())
+    last = int(ckpts[-1])
+    assert 0 < last < 30  # saved mid-run, not rewound to a best-eval step
+    with open(run / "checkpoints" / ckpts[-1] / "training.json") as f:
+        assert json.load(f)["step"] == last
+
+    # relaunch (real guard, no signal) resumes from `last` and completes
+    cfg2 = _train_config(env, log_dir="preempt", n_steps=6, eval_period=6,
+                         overwrite=False)
+    train(cfg2)
+    final = sorted(p.name for p in (run / "checkpoints").iterdir())[-1]
+    with open(run / "checkpoints" / final / "training.json") as f:
+        assert json.load(f)["step"] == 6
