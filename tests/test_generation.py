@@ -140,9 +140,9 @@ def test_model_generate_convenience_and_jit_cache():
     got = model.generate(model.params, prompt, 4, temperature=0.0)
     want = naive_greedy(model, prompt, 4)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
-    fn1 = model.__dict__["_generate_cache"][(4, 0.0, None, True, False, None)]
+    fn1 = model.__dict__["_generate_cache"][(4, 0.0, None, True, False, None, None, None)]
     model.generate(model.params, prompt, 4, temperature=0.0)
-    assert model.__dict__["_generate_cache"][(4, 0.0, None, True, False, None)] is fn1
+    assert model.__dict__["_generate_cache"][(4, 0.0, None, True, False, None, None, None)] is fn1
 
 
 def test_left_padded_ragged_batch_matches_unpadded():
@@ -327,3 +327,61 @@ def test_init_kv_cache_int8_layout():
     assert cache[0]["k_scale"].shape == (2, 4, 12)
     with pytest.raises(ValueError, match="int8"):
         init_kv_cache(model.config, 2, 12, kv_cache_dtype="fp8")
+
+
+def test_top_p_nucleus_semantics():
+    """HF nucleus semantics on sample_token: token i survives iff the
+    cumulative probability of strictly-better tokens is <= top_p; at least
+    the argmax always survives."""
+    # probs ≈ [0.643, 0.236, 0.087, 0.032, 0.002]
+    logits = jnp.log(jnp.asarray([[0.643, 0.236, 0.087, 0.032, 0.002]]))
+    # top_p=0.5: only token 0 has cum-before (0) <= 0.5... token 1 has 0.643
+    for key in range(8):
+        tok = sample_token(logits, jax.random.key(key), temperature=1.0,
+                           top_p=0.5)
+        assert int(tok[0]) == 0
+    # top_p=0.9: tokens 0,1,2 survive (cum-before 0, .643, .879); 3 has .966
+    seen = {int(sample_token(logits, jax.random.key(k), 1.0, top_p=0.9)[0])
+            for k in range(64)}
+    assert seen <= {0, 1, 2} and 0 in seen and len(seen) >= 2
+
+
+def test_top_p_generate_and_topk_combination():
+    model = tiny_decoder()
+    prompt = jnp.asarray([[3, 1, 4], [1, 5, 9]], jnp.int32)
+    a = generate(model.params, model.config, prompt, 5, temperature=0.9,
+                 top_p=0.9, rng=jax.random.key(2))
+    b = generate(model.params, model.config, prompt, 5, temperature=0.9,
+                 top_p=0.9, rng=jax.random.key(2))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert ((np.asarray(a) >= 0) & (np.asarray(a) < 50)).all()
+    # top_k + top_p compose: candidates limited to top_k before the nucleus
+    c = generate(model.params, model.config, prompt, 5, temperature=0.9,
+                 top_k=5, top_p=0.9, rng=jax.random.key(3))
+    seq = prompt
+    for t in range(c.shape[1]):
+        logits = apply_transformer(model.params, model.config, seq)[:, -1, :]
+        top = jax.lax.top_k(logits, 5)[1]
+        for i in range(seq.shape[0]):
+            assert int(c[i, t]) in np.asarray(top[i])
+        seq = jnp.concatenate([seq, c[:, t:t + 1]], axis=1)
+
+
+def test_eos_termination_pads_remainder():
+    """Once a sample emits eos_token_id every later slot is EOS (HF padding
+    semantics); other samples keep generating."""
+    model = tiny_decoder()
+    prompt = jnp.asarray([[7, 2, 8], [4, 4, 4]], jnp.int32)
+    free = generate(model.params, model.config, prompt, 8, temperature=0.0)
+    arr = np.asarray(free)
+    # pick sample 0's second token as the "eos" so termination happens mid-run
+    eos = int(arr[0, 1])
+    got = np.asarray(generate(model.params, model.config, prompt, 8,
+                              temperature=0.0, eos_token_id=eos))
+    for row in got:
+        hits = np.where(row == eos)[0]
+        if hits.size:
+            assert (row[hits[0]:] == eos).all()
+    # greedy prefix before EOS is unchanged vs the unconstrained run
+    h0 = np.where(arr[0] == eos)[0][0]
+    np.testing.assert_array_equal(got[0, :h0 + 1], arr[0, :h0 + 1])

@@ -27,6 +27,8 @@ MODES = {
     "greedy": dict(temperature=0.0),
     "greedy_int8": dict(temperature=0.0, kv_cache_dtype="int8"),
     "topk_int8": dict(temperature=0.8, top_k=40, kv_cache_dtype="int8"),
+    "topp": dict(temperature=0.8, top_p=0.95),
+    "topp_k64": dict(temperature=0.8, top_k=64, top_p=0.95),
 }
 
 

@@ -330,24 +330,44 @@ def prefill(params: dict, cfg: TransformerConfig, prompt, max_len: int,
 
 
 def sample_token(logits, rng, temperature: float = 1.0, top_k: int | None = None,
-                 approx_top_k: bool = False):
+                 approx_top_k: bool = False, top_p: float | None = None,
+                 top_p_candidates: int = 256):
     """Sample next tokens from (N, V) fp32 logits.
 
     ``temperature == 0`` (or ``top_k == 1``) is greedy argmax; otherwise
     temperature-scaled categorical sampling, optionally restricted to the
-    ``top_k`` highest-logit tokens.
+    ``top_k`` highest-logit tokens and/or the ``top_p`` probability nucleus.
 
-    The top-k path samples over the k CANDIDATE logits and gathers the chosen
-    index — the same renormalised distribution as masking the full vocabulary
-    to -inf and sampling that, without materialising or scanning (N, V) again.
-    Combined with :func:`vitef_tpu.ops.topk.top_k` (exact two-stage selection
-    instead of ``lax.top_k``'s full vocab sort) this took the GPT2-small
-    decode token-step from 23.1 ms to ~10 ms at batch 256 on v5e (PERF.md).
-    ``approx_top_k=True`` opts into ``lax.approx_max_k`` candidates (~95%
-    recall, another ~3 ms off); exact selection is the default.
+    The top-k/top-p paths sample over the CANDIDATE logits and gather the
+    chosen index — the same renormalised distribution as masking the full
+    vocabulary to -inf and sampling that, without materialising or scanning
+    (N, V) again. Combined with :func:`vitef_tpu.ops.topk.top_k` (exact
+    two-stage selection instead of ``lax.top_k``'s full vocab sort) this took
+    the GPT2-small decode token-step from 23.1 ms to ~10 ms at batch 256 on
+    v5e (PERF.md). ``approx_top_k=True`` opts into ``lax.approx_max_k``
+    candidates (~95% recall, another ~3 ms off); exact is the default.
+
+    ``top_p`` (nucleus) keeps the smallest prefix of descending-probability
+    tokens whose cumulative probability reaches ``top_p`` (HF semantics:
+    token i survives iff the cumulative probability BEFORE it is <= top_p, so
+    at least one token always survives). The nucleus is computed over the
+    ``top_k`` (or ``top_p_candidates``) highest-logit tokens — a full-vocab
+    sort is exactly the 17 ms/step TPU cost this module avoids; a nucleus
+    wider than 256 tokens at p <= 0.95 does not occur in practice (tail
+    probabilities there are < 1e-4 each).
     """
     if temperature == 0.0 or top_k == 1:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    if top_p is not None:
+        k = min(top_k or top_p_candidates, logits.shape[-1])
+        vals, idx = fast_top_k(logits, k, approx=approx_top_k)
+        scaled = vals / temperature  # descending
+        probs = jax.nn.softmax(scaled, axis=-1)
+        before = jnp.cumsum(probs, axis=-1) - probs  # cumulative BEFORE i
+        scaled = jnp.where(before <= top_p, scaled, _NEG_INF)
+        choice = jax.random.categorical(rng, scaled, axis=-1)
+        return jnp.take_along_axis(
+            idx, choice[..., None], axis=-1)[..., 0].astype(jnp.int32)
     if top_k is not None:
         vals, idx = fast_top_k(logits, top_k, approx=approx_top_k)
         choice = jax.random.categorical(rng, vals / temperature, axis=-1)
@@ -359,7 +379,8 @@ def sample_token(logits, rng, temperature: float = 1.0, top_k: int | None = None
 def generate(params: dict, cfg: TransformerConfig, prompt, max_new_tokens: int,
              *, temperature: float = 1.0, top_k: int | None = None, rng=None,
              prompt_mask=None, approx_top_k: bool = False,
-             kv_cache_dtype: str | None = None):
+             kv_cache_dtype: str | None = None, top_p: float | None = None,
+             eos_token_id: int | None = None):
     """Generate ``max_new_tokens`` tokens after ``prompt``.
 
     ``prompt``: (N, P) int32. Ragged batches are LEFT-padded to the shared
@@ -374,6 +395,11 @@ def generate(params: dict, cfg: TransformerConfig, prompt, max_new_tokens: int,
     quantization error on K/V rows (see :func:`quantize_kv`). Sampling-level
     behaviour is preserved; exact greedy parity is only guaranteed by the
     full-precision cache (the default).
+
+    ``top_p`` enables nucleus sampling (see :func:`sample_token`).
+    ``eos_token_id``: once a sample emits EOS, all its later positions are
+    filled with EOS (HF padding semantics) — the scan stays static-shape, the
+    finished sample just stops influencing its own output.
     """
     _check_decoder(cfg)
     n, p = prompt.shape
@@ -399,12 +425,15 @@ def generate(params: dict, cfg: TransformerConfig, prompt, max_new_tokens: int,
     last_logits, cache = prefill(params, cfg, prompt, total, prompt_mask,
                                  kv_cache_dtype)
     rng, r0 = jax.random.split(rng)
-    first = sample_token(last_logits, r0, temperature, top_k, approx_top_k)
+    first = sample_token(last_logits, r0, temperature, top_k, approx_top_k,
+                         top_p)
+    done = (first == eos_token_id) if eos_token_id is not None \
+        else jnp.zeros((n,), bool)
     if max_new_tokens == 1:
         return first[:, None]
 
     def step(carry, _):
-        cache, token, pos, rng = carry
+        cache, token, pos, rng, done = carry
         # logical position of this token = sample length + tokens decoded so far
         x = _embed_token(params, cfg, token, lengths + (pos - p))
         new_cache = []
@@ -413,11 +442,14 @@ def generate(params: dict, cfg: TransformerConfig, prompt, max_new_tokens: int,
             new_cache.append(lc)
         logits = _logits(params, cfg, x)
         rng, r = jax.random.split(rng)
-        nxt = sample_token(logits, r, temperature, top_k, approx_top_k)
-        return (new_cache, nxt, pos + 1, rng), token
+        nxt = sample_token(logits, r, temperature, top_k, approx_top_k, top_p)
+        if eos_token_id is not None:
+            nxt = jnp.where(done, jnp.int32(eos_token_id), nxt)
+            done = jnp.logical_or(done, nxt == eos_token_id)
+        return (new_cache, nxt, pos + 1, rng, done), token
 
-    (_, last, _, _), tokens = jax.lax.scan(
-        step, (cache, first, jnp.int32(p), rng), None,
+    (_, last, _, _, _), tokens = jax.lax.scan(
+        step, (cache, first, jnp.int32(p), rng, done), None,
         length=max_new_tokens - 1,
     )
     # tokens: (max_new-1, N) of all but the final sample; append it.

@@ -47,23 +47,25 @@ class Model:
     def generate(self, params, prompt, max_new_tokens: int, *,
                  temperature: float = 1.0, top_k: int | None = None, rng=None,
                  prompt_mask=None, approx_top_k: bool = False,
-                 kv_cache_dtype: str | None = None):
+                 kv_cache_dtype: str | None = None, top_p: float | None = None,
+                 eos_token_id: int | None = None):
         """KV-cache autoregressive decoding (see models/generation.py).
 
-        The jitted program is cached per (max_new_tokens, temperature, top_k)
-        on this Model instance (jax's own jit cache then handles prompt-shape
-        variations), so repeated serving calls don't retrace."""
+        The jitted program is cached per sampling configuration on this Model
+        instance (jax's own jit cache then handles prompt-shape variations),
+        so repeated serving calls don't retrace."""
         from .generation import generate as _generate
 
         key = (max_new_tokens, temperature, top_k, prompt_mask is None,
-               approx_top_k, kv_cache_dtype)
+               approx_top_k, kv_cache_dtype, top_p, eos_token_id)
         cache = self.__dict__.setdefault("_generate_cache", {})
         fn = cache.get(key)
         if fn is None:
             fn = cache[key] = jax.jit(functools.partial(
                 _generate, cfg=self.config, max_new_tokens=max_new_tokens,
                 temperature=temperature, top_k=top_k,
-                approx_top_k=approx_top_k, kv_cache_dtype=kv_cache_dtype))
+                approx_top_k=approx_top_k, kv_cache_dtype=kv_cache_dtype,
+                top_p=top_p, eos_token_id=eos_token_id))
         if rng is None:
             rng = jax.random.key(0)
         if prompt_mask is None:
