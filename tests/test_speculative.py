@@ -1,0 +1,75 @@
+"""Speculative decoding (models/speculative.py).
+
+Golden invariant: greedy speculative output token-for-token EQUALS the target
+model's plain greedy decode — the draft changes throughput, never content.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vitef_tpu.models import build_model, generate, generate_speculative
+
+
+def decoder(seed, layers=2, seq_len=64):
+    return build_model({
+        "implementation": "transformer", "vocab_size": 50, "emb_type": "dict",
+        "emb_dim": 32, "n_heads": 4, "n_layers": layers, "seq_len": seq_len,
+        "causal": True, "pre_norm": True, "weight_tying": True,
+        "output_type": "sequence_to_sequence", "attn_bias": True,
+        "ffn_bias": True, "norm_bias": True, "cls_token": False,
+        "pos_emb": True,
+    }, key=jax.random.key(seed))
+
+
+@pytest.mark.parametrize("gamma", [1, 3, 5])
+def test_exact_greedy_equivalence(gamma):
+    target, draft = decoder(0, 3), decoder(7, 1)
+    prompt = jnp.asarray(
+        np.random.default_rng(0).integers(0, 50, size=(1, 6)), jnp.int32)
+    want = generate(target.params, target.config, prompt, 13, temperature=0.0)
+    got = generate_speculative(
+        target.params, target.config, prompt, 13,
+        draft_params=draft.params, draft_cfg=draft.config, gamma=gamma)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_self_draft_perfect_acceptance():
+    """draft == target accepts every proposal: ceil(max_new/(gamma+1)) rounds
+    — the mechanical upper bound on the speedup."""
+    target = decoder(1, 2)
+    prompt = jnp.asarray([[4, 9, 2]], jnp.int32)
+    want = generate(target.params, target.config, prompt, 12, temperature=0.0)
+    got, stats = generate_speculative(
+        target.params, target.config, prompt, 12,
+        draft_params=target.params, draft_cfg=target.config, gamma=3,
+        return_stats=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    assert int(stats["rounds"]) == 3  # ceil(12 / 4)
+    assert int(stats["accepted"]) == int(stats["drafted"]) == 9
+
+
+def test_jit_and_model_method():
+    target, draft = decoder(2, 2), decoder(5, 1)
+    prompt = jnp.asarray([[1, 2, 3, 4]], jnp.int32)
+    want = generate(target.params, target.config, prompt, 7, temperature=0.0)
+    got = target.generate_speculative(target.params, prompt, 7, draft=draft,
+                                      gamma=2)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    # jit cache reused
+    fn = target.__dict__["_generate_cache"][("spec", 7, 2, False)]
+    target.generate_speculative(target.params, prompt, 7, draft=draft, gamma=2)
+    assert target.__dict__["_generate_cache"][("spec", 7, 2, False)] is fn
+
+
+def test_batch_and_length_guards():
+    target, draft = decoder(3, 1), decoder(4, 1)
+    with pytest.raises(ValueError, match="batch-1"):
+        generate_speculative(target.params, target.config,
+                             jnp.zeros((2, 4), jnp.int32), 4,
+                             draft_params=draft.params, draft_cfg=draft.config)
+    with pytest.raises(ValueError, match="exceeds"):
+        generate_speculative(target.params, target.config,
+                             jnp.zeros((1, 60), jnp.int32), 4,
+                             draft_params=draft.params, draft_cfg=draft.config)

@@ -1,0 +1,61 @@
+"""Batch-1 decode latency: plain generate() vs speculative decoding.
+
+GPT2-small target; draft = 2-layer same-width decoder (what a distilled
+draft would look like; random weights here, so the ACCEPTANCE is what a
+worst-case draft gives — the self-draft row shows the perfect-acceptance
+mechanical upper bound). Run from the repo root on the real TPU.
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vitef_tpu.models import build_model, generate_speculative
+
+
+def gpt2ish(layers, seed):
+    return build_model(dict(
+        implementation="transformer", vocab_size=50257, emb_type="dict",
+        emb_dim=768, n_heads=12, n_layers=layers, seq_len=1024, causal=True,
+        pre_norm=True, weight_tying=True, output_type="sequence_to_sequence",
+        attn_bias=True, ffn_bias=True, norm_bias=True,
+        compute_dtype="bfloat16"), key=jax.random.key(seed))
+
+
+def main():
+    prompt_len, new = 64, 128
+    target = gpt2ish(12, 0)
+    draft = gpt2ish(2, 7)
+    prompt = jnp.asarray(np.random.default_rng(0).integers(
+        0, 50257, size=(1, prompt_len)), jnp.int32)
+
+    out = target.generate(target.params, prompt, new, temperature=0.0)
+    np.asarray(out)
+    t0 = time.perf_counter()
+    out = target.generate(target.params, prompt, new, temperature=0.0)
+    np.asarray(out)
+    base = time.perf_counter() - t0
+    print(f"plain greedy      {base*1000:7.1f} ms  {new/base:6.1f} tok/s", flush=True)
+
+    for name, dr in (("draft-2L", draft), ("self-draft", target)):
+        got, stats = target.generate_speculative(
+            target.params, prompt, new, draft=dr, gamma=4, return_stats=True)
+        np.asarray(got)
+        t0 = time.perf_counter()
+        got, stats = target.generate_speculative(
+            target.params, prompt, new, draft=dr, gamma=4, return_stats=True)
+        np.asarray(got)
+        dt = time.perf_counter() - t0
+        r, acc, drf = (int(stats[k]) for k in ("rounds", "accepted", "drafted"))
+        same = bool(np.array_equal(np.asarray(got), np.asarray(out)))
+        print(f"speculative {name:11s} {dt*1000:7.1f} ms  {new/dt:6.1f} tok/s  "
+              f"rounds={r} accept={acc}/{drf}  equal={same}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

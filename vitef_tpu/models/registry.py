@@ -72,6 +72,26 @@ class Model:
             return fn(params, prompt=prompt, rng=rng)
         return fn(params, prompt=prompt, rng=rng, prompt_mask=prompt_mask)
 
+    def generate_speculative(self, params, prompt, max_new_tokens: int, *,
+                             draft: "Model", draft_params=None, gamma: int = 4,
+                             return_stats: bool = False):
+        """Greedy speculative decoding with ``draft`` as the proposal model
+        (batch-1 latency path; see models/speculative.py). Output is exactly
+        this model's greedy decode. Jit-cached per (max_new, gamma, stats)."""
+        from .speculative import generate_speculative as _spec
+
+        key = ("spec", max_new_tokens, gamma, return_stats)
+        cache = self.__dict__.setdefault("_generate_cache", {})
+        fn = cache.get(key)
+        if fn is None:
+            fn = cache[key] = jax.jit(functools.partial(
+                _spec, cfg=self.config, max_new_tokens=max_new_tokens,
+                draft_cfg=draft.config, gamma=gamma,
+                return_stats=return_stats))
+        return fn(params, prompt=prompt,
+                  draft_params=draft.params if draft_params is None
+                  else draft_params)
+
     def get_decomposition(self, params, x):
         return T.get_decomposition(params, self.config, x)
 
