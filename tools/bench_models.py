@@ -74,13 +74,13 @@ def bench_vit(name, batch, remat=False):
         "vs_roofline": round(ips / roof, 4)}), flush=True)
 
 
-def bench_gpt2(batch=8):
+def bench_gpt2(batch=8, size="base"):
     from vitef_tpu.models import build_model
     from vitef_tpu.optim import build_optimizer, build_scheduler
     from vitef_tpu.parallel import init_train_state, make_train_step
 
     model = build_model(dict(
-        implementation="gpt2", model_name="base", pretrained=False,
+        implementation="gpt2", model_name=size, pretrained=False,
         compute_dtype="bfloat16"), key=jax.random.key(0))
     seq = model.config.seq_len
 
@@ -111,9 +111,10 @@ def bench_gpt2(batch=8):
     dt = time.perf_counter() - t0
 
     tps = batch * seq * STEPS / dt
-    roof = detect_peak() / (3 * gpt2_flops() / seq)
+    cfg = model.config
+    roof = detect_peak() / (3 * gpt2_flops(cfg.emb_dim, cfg.n_layers, seq) / seq)
     print(json.dumps({
-        "metric": "gpt2_small_train_throughput", "value": round(tps, 0),
+        "metric": f"gpt2_{size}_train_throughput", "value": round(tps, 0),
         "unit": "tokens/sec/chip", "batch": batch, "seq": seq,
         "ms_per_step": round(dt / STEPS * 1000, 1),
         "vs_roofline": round(tps / roof, 4)}), flush=True)
@@ -129,3 +130,5 @@ if __name__ == "__main__":
         bench_vit("huge", 32)  # fits without remat; remat@64 measured 17% slower
     if "gpt2" in which:
         bench_gpt2(batch=16)  # measured best of {8, 16, 32}
+    if "gpt2_medium" in which:
+        bench_gpt2(batch=8, size="medium")
