@@ -58,9 +58,9 @@ def test_jit_and_model_method():
                                       gamma=2)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
     # jit cache reused
-    fn = target.__dict__["_generate_cache"][("spec", 7, 2, False)]
+    fn = target.__dict__["_generate_cache"][("spec", 7, 2, 0.0, False)]
     target.generate_speculative(target.params, prompt, 7, draft=draft, gamma=2)
-    assert target.__dict__["_generate_cache"][("spec", 7, 2, False)] is fn
+    assert target.__dict__["_generate_cache"][("spec", 7, 2, 0.0, False)] is fn
 
 
 def test_batch_and_length_guards():
@@ -73,3 +73,45 @@ def test_batch_and_length_guards():
         generate_speculative(target.params, target.config,
                              jnp.zeros((1, 60), jnp.int32), 4,
                              draft_params=draft.params, draft_cfg=draft.config)
+
+
+def test_sampling_distribution_matches_target():
+    """Leviathan acceptance yields the TARGET sampling distribution exactly,
+    independent of the draft: empirical marginal of the 2nd generated token
+    (after a spec round with a mismatched draft) matches plain sampled
+    generate() within sampling noise (total variation over ~600 draws)."""
+    import functools
+
+    target, draft = decoder(0, 2), decoder(9, 1)
+    prompt = jnp.asarray([[3, 8, 1, 4]], jnp.int32)
+    spec = jax.jit(functools.partial(
+        generate_speculative, cfg=target.config, max_new_tokens=2,
+        draft_cfg=draft.config, gamma=2, temperature=1.0))
+    plain = jax.jit(functools.partial(
+        generate, cfg=target.config, max_new_tokens=2, temperature=1.0))
+
+    n, v = 600, 50
+    cs = np.zeros(v), np.zeros(v)
+    for i in range(n):
+        s = spec(target.params, prompt=prompt, draft_params=draft.params,
+                 rng=jax.random.key(2 * i))
+        p = plain(target.params, prompt=prompt, rng=jax.random.key(2 * i + 1))
+        cs[0][int(s[0, 1])] += 1
+        cs[1][int(p[0, 1])] += 1
+    tv = 0.5 * np.abs(cs[0] / n - cs[1] / n).sum()
+    # two empirical draws of the same 50-way distribution: TV ~ 0.10-0.14
+    assert tv < 0.2, f"total variation {tv:.3f} too large — distributions differ"
+
+
+def test_sampling_deterministic_given_key_and_valid():
+    target, draft = decoder(0, 2), decoder(9, 1)
+    prompt = jnp.asarray([[5, 5, 2, 7]], jnp.int32)
+    a = generate_speculative(target.params, target.config, prompt, 6,
+                             draft_params=draft.params, draft_cfg=draft.config,
+                             gamma=3, temperature=0.8, rng=jax.random.key(3))
+    b = generate_speculative(target.params, target.config, prompt, 6,
+                             draft_params=draft.params, draft_cfg=draft.config,
+                             gamma=3, temperature=0.8, rng=jax.random.key(3))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    arr = np.asarray(a)
+    assert arr.shape == (1, 6) and ((arr >= 0) & (arr < 50)).all()

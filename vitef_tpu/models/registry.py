@@ -74,21 +74,25 @@ class Model:
 
     def generate_speculative(self, params, prompt, max_new_tokens: int, *,
                              draft: "Model", draft_params=None, gamma: int = 4,
+                             temperature: float = 0.0, rng=None,
                              return_stats: bool = False):
-        """Greedy speculative decoding with ``draft`` as the proposal model
-        (batch-1 latency path; see models/speculative.py). Output is exactly
-        this model's greedy decode. Jit-cached per (max_new, gamma, stats)."""
+        """Speculative decoding with ``draft`` as the proposal model (batch-1
+        latency path; see models/speculative.py). temperature=0 is exactly
+        this model's greedy decode; temperature>0 uses the Leviathan
+        acceptance rule (exact target sampling distribution)."""
         from .speculative import generate_speculative as _spec
 
-        key = ("spec", max_new_tokens, gamma, return_stats)
+        key = ("spec", max_new_tokens, gamma, temperature, return_stats)
         cache = self.__dict__.setdefault("_generate_cache", {})
         fn = cache.get(key)
         if fn is None:
             fn = cache[key] = jax.jit(functools.partial(
                 _spec, cfg=self.config, max_new_tokens=max_new_tokens,
-                draft_cfg=draft.config, gamma=gamma,
+                draft_cfg=draft.config, gamma=gamma, temperature=temperature,
                 return_stats=return_stats))
-        return fn(params, prompt=prompt,
+        if rng is None:
+            rng = jax.random.key(0)
+        return fn(params, prompt=prompt, rng=rng,
                   draft_params=draft.params if draft_params is None
                   else draft_params)
 

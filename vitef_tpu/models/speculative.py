@@ -134,8 +134,18 @@ def _forward_window(params, cfg: TransformerConfig, tokens, cache, pos):
 def generate_speculative(params, cfg: TransformerConfig, prompt,
                          max_new_tokens: int, *, draft_params,
                          draft_cfg: TransformerConfig, gamma: int = 4,
+                         temperature: float = 0.0, rng=None,
                          return_stats: bool = False):
-    """Greedy speculative decoding; output == target greedy decode exactly.
+    """Speculative decoding; the output DISTRIBUTION equals target decoding.
+
+    ``temperature == 0``: greedy — proposals accepted while they match the
+    target argmax; output token-for-token equals plain greedy decode.
+    ``temperature > 0``: the Leviathan et al. (2023) acceptance rule —
+    proposal g_i drawn from the draft distribution q is accepted with
+    probability min(1, p(g_i)/q(g_i)); the first rejection is resampled from
+    the normalised residual max(0, p - q), and a full acceptance earns a
+    bonus token from p — provably EXACTLY the target sampling distribution,
+    whatever the draft (checked empirically in tests/test_speculative.py).
 
     ``prompt``: (1, P) int32 (batch 1 — the latency regime; batched serving
     uses :func:`~vitef_tpu.models.generation.generate`). The draft model must
@@ -158,9 +168,18 @@ def generate_speculative(params, cfg: TransformerConfig, prompt,
             f"prompt + max_new_tokens + gamma + 1 = {total} exceeds "
             f"seq_len {min(cfg.seq_len, draft_cfg.seq_len)}")
 
+    if rng is None:
+        rng = jax.random.key(0)
+    sampling = temperature > 0.0
+
     t_logits, t_cache = prefill(params, cfg, prompt, total)
     d_logits, d_cache = prefill(draft_params, draft_cfg, prompt, total)
-    first = jnp.argmax(t_logits, axis=-1).astype(jnp.int32)  # (1,)
+    if sampling:
+        rng, r0 = jax.random.split(rng)
+        first = jax.random.categorical(
+            r0, t_logits / temperature, axis=-1).astype(jnp.int32)  # (1,)
+    else:
+        first = jnp.argmax(t_logits, axis=-1).astype(jnp.int32)  # (1,)
 
     buf = jnp.zeros((max_new_tokens + gamma + 1,), jnp.int32)
     buf = jax.lax.dynamic_update_slice(buf, first, (0,))
@@ -173,9 +192,10 @@ def generate_speculative(params, cfg: TransformerConfig, prompt,
         return carry[0] < max_new_tokens
 
     def body(carry):
-        n_done, tok, c, t_cache, d_cache, buf, rounds, acc = carry
+        n_done, tok, c, t_cache, d_cache, buf, rounds, acc, rng = carry
+        rng, r_draft, r_accept, r_fix = jax.random.split(rng, 4)
 
-        # -- draft: gamma greedy one-token steps from `tok` at index c ------
+        # -- draft: gamma one-token steps from `tok` at index c -------------
         def draft_step(dc, i):
             d_cache, w = dc
             x = _embed_token(draft_params, draft_cfg, w[None], (c + i)[None])
@@ -183,32 +203,61 @@ def generate_speculative(params, cfg: TransformerConfig, prompt,
             for li, bp in enumerate(draft_params["blocks"]):
                 x, lc = _block_decode(bp, draft_cfg, x, d_cache[li], c + i)
                 new.append(lc)
-            g = jnp.argmax(_logits(draft_params, draft_cfg, x),
-                           axis=-1).astype(jnp.int32)[0]
-            return (new, g), g
+            logits = _logits(draft_params, draft_cfg, x)[0]  # (V,)
+            if sampling:
+                g = jax.random.categorical(
+                    jax.random.fold_in(r_draft, i),
+                    logits / temperature).astype(jnp.int32)
+            else:
+                g = jnp.argmax(logits).astype(jnp.int32)
+            return (new, g), (g, logits)
 
-        (d_cache, _), g = jax.lax.scan(
+        (d_cache, _), (g, d_logits) = jax.lax.scan(
             draft_step, (d_cache, tok[0]), jnp.arange(gamma))
 
         # -- target: ONE windowed forward over [tok, g_1..g_gamma] ----------
         window = jnp.concatenate([tok, g], axis=0)[None]  # (1, gamma+1)
         logits, t_cache = _forward_window(params, cfg, window, t_cache, c)
-        t = jnp.argmax(logits[0], axis=-1).astype(jnp.int32)  # (gamma+1,)
 
-        # -- accept longest matching prefix + the correction token ----------
-        matches = (g == t[:gamma])
-        a = jnp.sum(jnp.cumprod(matches.astype(jnp.int32)))
-        emit = jnp.where(jnp.arange(gamma + 1) < a,
-                         jnp.concatenate([g, jnp.zeros((1,), jnp.int32)]), t)
+        if sampling:
+            # Leviathan acceptance: accept g_i with prob min(1, p(g_i)/q(g_i));
+            # first rejection resamples from the residual max(0, p - q); a
+            # full acceptance samples the bonus token from p directly (the
+            # zero-padded Q row makes the residual formula cover it).
+            P = jax.nn.softmax(logits[0] / temperature, axis=-1)  # (g+1, V)
+            Q = jnp.concatenate([
+                jax.nn.softmax(d_logits / temperature, axis=-1),
+                jnp.zeros((1, P.shape[-1]), P.dtype)], axis=0)    # (g+1, V)
+            p_g = jnp.take_along_axis(P[:gamma], g[:, None], axis=1)[:, 0]
+            q_g = jnp.take_along_axis(Q[:gamma], g[:, None], axis=1)[:, 0]
+            u = jax.random.uniform(r_accept, (gamma,))
+            accepted = u * q_g <= p_g  # u <= min(1, p/q) without the divide
+            a = jnp.sum(jnp.cumprod(accepted.astype(jnp.int32)))
+            resid = jnp.maximum(P[a] - Q[a], 0.0)
+            # numerical guard: identical p/q rows make the residual all-zero
+            # (acceptance should then always fire; float round-off aside)
+            resid = jnp.where(jnp.sum(resid) > 0, resid, P[a])
+            fix = jax.random.categorical(
+                r_fix, jnp.log(jnp.maximum(resid, 1e-38))).astype(jnp.int32)
+            emit = jnp.where(jnp.arange(gamma + 1) < a,
+                             jnp.concatenate([g, jnp.zeros((1,), jnp.int32)]),
+                             fix)
+        else:
+            t = jnp.argmax(logits[0], axis=-1).astype(jnp.int32)  # (gamma+1,)
+            matches = (g == t[:gamma])
+            a = jnp.sum(jnp.cumprod(matches.astype(jnp.int32)))
+            emit = jnp.where(jnp.arange(gamma + 1) < a,
+                             jnp.concatenate([g, jnp.zeros((1,), jnp.int32)]),
+                             t)
         buf = jax.lax.dynamic_update_slice(buf, emit, (n_done,))
 
         return (n_done + a + 1, emit[a][None], c + a + 1,
-                t_cache, d_cache, buf, rounds + 1, acc + a)
+                t_cache, d_cache, buf, rounds + 1, acc + a, rng)
 
     # n_done counts committed generated tokens; `first` is already in buf[0].
-    n_done, _, _, _, _, buf, rounds, acc = jax.lax.while_loop(
+    n_done, _, _, _, _, buf, rounds, acc, _ = jax.lax.while_loop(
         cond, body, (jnp.int32(1), first, jnp.int32(p),
-                     t_cache, d_cache, buf, jnp.int32(0), jnp.int32(0)))
+                     t_cache, d_cache, buf, jnp.int32(0), jnp.int32(0), rng))
 
     tokens = buf[:max_new_tokens][None]
     if return_stats:
