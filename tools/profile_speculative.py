@@ -42,19 +42,22 @@ def main():
     base = time.perf_counter() - t0
     print(f"plain greedy      {base*1000:7.1f} ms  {new/base:6.1f} tok/s", flush=True)
 
-    for name, dr in (("draft-2L", draft), ("self-draft", target)):
+    for name, dr, temp in (("draft-2L", draft, 0.0), ("self-draft", target, 0.0),
+                           ("draft-2L T=0.8", draft, 0.8)):
         got, stats = target.generate_speculative(
-            target.params, prompt, new, draft=dr, gamma=4, return_stats=True)
+            target.params, prompt, new, draft=dr, gamma=4, temperature=temp,
+            rng=jax.random.key(1), return_stats=True)
         np.asarray(got)
         t0 = time.perf_counter()
         got, stats = target.generate_speculative(
-            target.params, prompt, new, draft=dr, gamma=4, return_stats=True)
+            target.params, prompt, new, draft=dr, gamma=4, temperature=temp,
+            rng=jax.random.key(2), return_stats=True)
         np.asarray(got)
         dt = time.perf_counter() - t0
         r, acc, drf = (int(stats[k]) for k in ("rounds", "accepted", "drafted"))
         same = bool(np.array_equal(np.asarray(got), np.asarray(out)))
-        print(f"speculative {name:11s} {dt*1000:7.1f} ms  {new/dt:6.1f} tok/s  "
-              f"rounds={r} accept={acc}/{drf}  equal={same}", flush=True)
+        print(f"speculative {name:15s} {dt*1000:7.1f} ms  {new/dt:6.1f} tok/s  "
+              f"rounds={r} accept={acc}/{drf}  greedy-equal={same}", flush=True)
 
 
 if __name__ == "__main__":
