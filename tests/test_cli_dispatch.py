@@ -79,3 +79,32 @@ def test_plots_clis_have_expected_commands():
         for fn in fns:
             assert callable(getattr(mod, fn)), f"{mod.__name__}.{fn}"
         assert callable(mod.main)
+
+
+def test_gpt2_sample_cli(monkeypatch, capsys):
+    """apps.gpt2.sample: token-id mode end-to-end on a random-weight model
+    (zero-egress path: no tokenizer, no pretrained weights needed)."""
+    import sys
+
+    monkeypatch.setattr(sys, "argv", [
+        "sample", "run", "--token_ids", "[3, 1, 4, 1, 5]",
+        "--max_new_tokens", "5", "--temperature", "0.0",
+        "--pretrained", "False", "--eos", "False"])
+    from apps.gpt2.sample import main
+
+    main()
+    out = capsys.readouterr().out
+    assert "'new_ids':" in out and "'prompt_ids': [3, 1, 4, 1, 5]" in out
+
+
+def test_gpt2_sample_cli_speculative(monkeypatch, capsys):
+    import sys
+
+    monkeypatch.setattr(sys, "argv", [
+        "sample", "run", "--token_ids", "[7, 2]", "--max_new_tokens", "4",
+        "--temperature", "0.0", "--pretrained", "False", "--eos", "False",
+        "--draft_model_name", "base", "--gamma", "2"])
+    from apps.gpt2.sample import main
+
+    main()
+    assert "'new_ids':" in capsys.readouterr().out
