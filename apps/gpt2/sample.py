@@ -58,6 +58,17 @@ def run(prompt: str | None = None, token_ids: list | None = None,
     eos_id = 50256 if eos else None
 
     if draft_model_name is not None:
+        # the speculative path supports temperature only — refuse flags it
+        # would silently ignore rather than sample differently than asked
+        ignored = [name for name, val, default in (
+            ("top_k", top_k, 40), ("top_p", top_p, None),
+            ("kv_cache_dtype", kv_cache_dtype, None)) if val != default]
+        if ignored:
+            raise SystemExit(
+                f"--draft_model_name (speculative) does not support "
+                f"{', '.join(ignored)}; it samples with temperature only")
+        logger.info("speculative mode: temperature-only sampling "
+                    "(the default top_k does not apply)")
         draft = build_model(dict(
             implementation="gpt2", model_name=draft_model_name,
             pretrained=pretrained, compute_dtype=compute_dtype),

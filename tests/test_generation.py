@@ -385,3 +385,20 @@ def test_eos_termination_pads_remainder():
     # greedy prefix before EOS is unchanged vs the unconstrained run
     h0 = np.where(arr[0] == eos)[0][0]
     np.testing.assert_array_equal(got[0, :h0 + 1], arr[0, :h0 + 1])
+
+
+def test_top_p_uses_full_vocab_probabilities():
+    """The nucleus cutoff must be measured in TRUE probability mass (full
+    vocab partition function), not mass renormalised over the candidate set:
+    with a flat 1000-token tail holding ~39% of the mass, top_p=0.7 must keep
+    more than the two head tokens a candidate-renormalised cutoff would."""
+    head = jnp.asarray([3.0, 2.6])                 # p ~ [0.37, 0.25]
+    tail = jnp.full((1000,), -1.0)                 # p ~ 0.00038 each, 0.39 total
+    logits = jnp.concatenate([head, tail])[None]
+    seen = {int(sample_token(logits, jax.random.key(k), 1.0, top_p=0.7,
+                             top_p_candidates=64)[0])
+            for k in range(200)}
+    # candidate-renormalised probs would be ~[0.58, 0.39, ...] -> cutoff after
+    # token 1; true-mass cumulative reaches 0.7 only inside the tail.
+    assert any(t >= 2 for t in seen), "nucleus truncated by candidate renorm"
+    assert {0, 1} <= seen

@@ -57,10 +57,15 @@ def test_jit_and_model_method():
     got = target.generate_speculative(target.params, prompt, 7, draft=draft,
                                       gamma=2)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
-    # jit cache reused
-    fn = target.__dict__["_generate_cache"][("spec", 7, 2, 0.0, False)]
+    # jit cache reused (key carries the draft identity)
+    key = ("spec", 7, 2, 0.0, False, id(draft))
+    fn = target.__dict__["_generate_cache"][key][0]
     target.generate_speculative(target.params, prompt, 7, draft=draft, gamma=2)
-    assert target.__dict__["_generate_cache"][("spec", 7, 2, 0.0, False)] is fn
+    assert target.__dict__["_generate_cache"][key][0] is fn
+    # a DIFFERENT draft gets its own compiled fn (config is baked via partial)
+    draft2 = decoder(8, 1)
+    target.generate_speculative(target.params, prompt, 7, draft=draft2, gamma=2)
+    assert ("spec", 7, 2, 0.0, False, id(draft2)) in target.__dict__["_generate_cache"]
 
 
 def test_batch_and_length_guards():
@@ -115,3 +120,23 @@ def test_sampling_deterministic_given_key_and_valid():
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     arr = np.asarray(a)
     assert arr.shape == (1, 6) and ((arr >= 0) & (arr < 50)).all()
+
+
+def test_self_draft_sampling_acceptance_perfect():
+    """Regression (draft-cache hole): the draft scan must write K/V for ALL
+    gamma proposals — a fully-accepted round advances the commit pointer past
+    slot c+gamma, and a zero slot there corrupts every later draft
+    distribution. With draft == target the Leviathan ratio p/q is exactly 1
+    at every position, so acceptance must be perfect across many rounds."""
+    target = decoder(0, 2)
+    prompt = jnp.asarray(
+        np.random.default_rng(1).integers(0, 50, size=(1, 5)), jnp.int32)
+    acc = drafted = 0
+    for s in range(10):
+        _, st = generate_speculative(
+            target.params, target.config, prompt, 12,
+            draft_params=target.params, draft_cfg=target.config, gamma=3,
+            temperature=1.0, rng=jax.random.key(s), return_stats=True)
+        acc += int(st["accepted"])
+        drafted += int(st["drafted"])
+    assert acc == drafted, f"self-draft rejections: {acc}/{drafted}"

@@ -172,10 +172,13 @@ def _attention_prefill(params: dict, cfg: TransformerConfig, x, key_mask=None):
     # Packed fused MHA kernel for the bf16 un-ragged prefill (the K/V returned
     # for the cache are slices of qkv either way; qkv is already biased, so no
     # in-kernel bias). Ragged prompts need the key_mask and keep the einsum
-    # path, as does fp32 (golden-parity semantics).
+    # path, as does fp32 (golden-parity semantics). Honors cfg.attn_impl /
+    # cfg.flash exactly like the training forward (transformer.py:363): an
+    # explicit attn_impl="xla" model must prefill with XLA numerics too.
     if (key_mask is None and cd == jnp.bfloat16
             and packed_mha_supported(l, e, 2)
-            and resolve_impl("auto", seq_len=l, dtype=cd) == "pallas"):
+            and resolve_impl(cfg.attn_impl if cfg.flash else "xla",
+                             seq_len=l, dtype=cd) == "pallas"):
         z = fused_mha_packed(qkv, cfg.n_heads, causal=True)
         return _linear(out_p, z, cd), k, v
     qh, kh, vh = (_split_heads(t, cfg.n_heads) for t in (q, k, v))
@@ -350,11 +353,13 @@ def sample_token(logits, rng, temperature: float = 1.0, top_k: int | None = None
     ``top_p`` (nucleus) keeps the smallest prefix of descending-probability
     tokens whose cumulative probability reaches ``top_p`` (HF semantics:
     token i survives iff the cumulative probability BEFORE it is <= top_p, so
-    at least one token always survives). The nucleus is computed over the
-    ``top_k`` (or ``top_p_candidates``) highest-logit tokens — a full-vocab
-    sort is exactly the 17 ms/step TPU cost this module avoids; a nucleus
-    wider than 256 tokens at p <= 0.95 does not occur in practice (tail
-    probabilities there are < 1e-4 each).
+    at least one token always survives). Probabilities are normalised against
+    the FULL vocabulary (one logsumexp pass), so the cutoff is exact; only
+    the candidate SET is limited to the ``top_k`` (or ``top_p_candidates``)
+    highest-logit tokens — a full-vocab sort is exactly the 17 ms/step TPU
+    cost this module avoids. If the true nucleus is wider than the candidate
+    set (very flat distributions), sampling gracefully restricts to all
+    candidates.
     """
     if temperature == 0.0 or top_k == 1:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -362,7 +367,12 @@ def sample_token(logits, rng, temperature: float = 1.0, top_k: int | None = None
         k = min(top_k or top_p_candidates, logits.shape[-1])
         vals, idx = fast_top_k(logits, k, approx=approx_top_k)
         scaled = vals / temperature  # descending
-        probs = jax.nn.softmax(scaled, axis=-1)
+        # TRUE probabilities: normalise against the FULL-vocab partition
+        # function, not just the candidates — renormalising over candidates
+        # inflates cumulative mass and silently shrinks the nucleus whenever
+        # the discarded tail is non-negligible (e.g. high temperature).
+        lse = jax.nn.logsumexp(logits / temperature, axis=-1, keepdims=True)
+        probs = jnp.exp(scaled - lse)
         before = jnp.cumsum(probs, axis=-1) - probs  # cumulative BEFORE i
         scaled = jnp.where(before <= top_p, scaled, _NEG_INF)
         choice = jax.random.categorical(rng, scaled, axis=-1)

@@ -82,14 +82,20 @@ class Model:
         acceptance rule (exact target sampling distribution)."""
         from .speculative import generate_speculative as _spec
 
-        key = ("spec", max_new_tokens, gamma, temperature, return_stats)
+        # the draft's CONFIG is baked into the compiled fn via partial, so the
+        # cache key must carry the draft identity (two drafts with identical
+        # param SHAPES would otherwise silently reuse the first one's config);
+        # keeping the draft in the cache value pins id() for the entry's life.
+        key = ("spec", max_new_tokens, gamma, temperature, return_stats,
+               id(draft))
         cache = self.__dict__.setdefault("_generate_cache", {})
-        fn = cache.get(key)
-        if fn is None:
-            fn = cache[key] = jax.jit(functools.partial(
+        entry = cache.get(key)
+        if entry is None:
+            entry = cache[key] = (jax.jit(functools.partial(
                 _spec, cfg=self.config, max_new_tokens=max_new_tokens,
                 draft_cfg=draft.config, gamma=gamma, temperature=temperature,
-                return_stats=return_stats))
+                return_stats=return_stats)), draft)
+        fn = entry[0]
         if rng is None:
             rng = jax.random.key(0)
         return fn(params, prompt=prompt, rng=rng,

@@ -35,15 +35,16 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+import math
+
+from ..ops.common import best_precision
 from .generation import (
-    _attention_prefill,
     _block_decode,
-    _block_prefill,
     _check_decoder,
     _embed_token,
+    _ffn,
     _logits,
     _split_heads,
-    init_kv_cache,
     prefill,
 )
 from .transformer import TransformerConfig, _linear, _norm
@@ -57,10 +58,6 @@ def _attend_window(q, k_cache, v_cache, n_heads: int, pos):
     q: (N, W, E); caches (N, h, Lmax, d) with the window's own K/V already
     written at [pos, pos+W). fp32 softmax like the one-token path.
     """
-    import math
-
-    from ..ops.common import best_precision
-
     n, w, e = q.shape
     h = n_heads
     d = e // h
@@ -102,13 +99,8 @@ def _block_decode_window(bp: dict, cfg: TransformerConfig, x, layer_cache, pos):
     if cfg.pre_norm:
         att, cache = attn(_norm(bp["attn_norm"], cfg, x))
         out = x + att
-        ffn_in = _norm(bp["ffn_norm"], cfg, out)
-        from .generation import _ffn
-
-        out = out + _ffn(bp["ffn"], cfg, ffn_in)
+        out = out + _ffn(bp["ffn"], cfg, _norm(bp["ffn_norm"], cfg, out))
     else:
-        from .generation import _ffn
-
         att, cache = attn(x)
         out = _norm(bp["attn_norm"], cfg, x + att)
         out = _norm(bp["ffn_norm"], cfg, out + _ffn(bp["ffn"], cfg, out))
@@ -195,7 +187,12 @@ def generate_speculative(params, cfg: TransformerConfig, prompt,
         n_done, tok, c, t_cache, d_cache, buf, rounds, acc, rng = carry
         rng, r_draft, r_accept, r_fix = jax.random.split(rng, 4)
 
-        # -- draft: gamma one-token steps from `tok` at index c -------------
+        # -- draft: gamma+1 one-token steps from `tok` at index c. The
+        # (gamma+1)-th step's SAMPLE is discarded, but its K/V write at slot
+        # c+gamma is load-bearing: a fully-accepted round advances the commit
+        # pointer past that slot, and without the write the draft cache would
+        # permanently hold zeros there — silently corrupting every later
+        # draft distribution (and with it the acceptance rate).
         def draft_step(dc, i):
             d_cache, w = dc
             x = _embed_token(draft_params, draft_cfg, w[None], (c + i)[None])
@@ -212,8 +209,9 @@ def generate_speculative(params, cfg: TransformerConfig, prompt,
                 g = jnp.argmax(logits).astype(jnp.int32)
             return (new, g), (g, logits)
 
-        (d_cache, _), (g, d_logits) = jax.lax.scan(
-            draft_step, (d_cache, tok[0]), jnp.arange(gamma))
+        (d_cache, _), (g_all, d_logits) = jax.lax.scan(
+            draft_step, (d_cache, tok[0]), jnp.arange(gamma + 1))
+        g, d_logits = g_all[:gamma], d_logits[:gamma]
 
         # -- target: ONE windowed forward over [tok, g_1..g_gamma] ----------
         window = jnp.concatenate([tok, g], axis=0)[None]  # (1, gamma+1)
