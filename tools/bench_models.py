@@ -132,3 +132,5 @@ if __name__ == "__main__":
         bench_gpt2(batch=16)  # measured best of {8, 16, 32}
     if "gpt2_medium" in which:
         bench_gpt2(batch=8, size="medium")
+    if "gpt2_large" in which:
+        bench_gpt2(batch=4, size="large")  # largest single-chip AdamW fit
