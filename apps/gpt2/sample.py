@@ -31,12 +31,17 @@ logger = logging.getLogger(__name__)
 
 def run(prompt: str | None = None, token_ids: list | None = None,
         model_name: str = "base", max_new_tokens: int = 32,
-        temperature: float = 0.8, top_k: int | None = 40,
+        temperature: float = 0.8, top_k: int | None = None,
         top_p: float | None = None, eos: bool = True,
         kv_cache_dtype: str | None = None, draft_model_name: str | None = None,
         gamma: int = 4, pretrained: bool = True, seed: int = 0,
         compute_dtype: str = "bfloat16"):
-    """Generate a continuation; prints token ids (and text when decodable)."""
+    """Generate a continuation; prints token ids (and text when decodable).
+
+    ``top_k`` defaults to 40 in plain mode (``--top_k 0`` disables top-k);
+    the default is resolved AFTER the speculative/plain branch so that any
+    explicitly passed sampling flag the speculative path would silently
+    ignore is refused instead."""
     if (prompt is None) == (token_ids is None):
         raise SystemExit("pass exactly one of --prompt or --token_ids")
 
@@ -60,9 +65,10 @@ def run(prompt: str | None = None, token_ids: list | None = None,
     if draft_model_name is not None:
         # the speculative path supports temperature only — refuse flags it
         # would silently ignore rather than sample differently than asked
-        ignored = [name for name, val, default in (
-            ("top_k", top_k, 40), ("top_p", top_p, None),
-            ("kv_cache_dtype", kv_cache_dtype, None)) if val != default]
+        # (None = not passed; the plain-mode top_k default resolves below)
+        ignored = [name for name, val in (
+            ("top_k", top_k), ("top_p", top_p),
+            ("kv_cache_dtype", kv_cache_dtype)) if val is not None]
         if ignored:
             raise SystemExit(
                 f"--draft_model_name (speculative) does not support "
@@ -81,6 +87,7 @@ def run(prompt: str | None = None, token_ids: list | None = None,
                     int(stats["rounds"]), int(stats["accepted"]),
                     int(stats["drafted"]))
     else:
+        top_k = 40 if top_k is None else (top_k if top_k > 0 else None)
         out = model.generate(
             model.params, ids, max_new_tokens, temperature=temperature,
             top_k=top_k, top_p=top_p, eos_token_id=eos_id,

@@ -108,3 +108,21 @@ def test_gpt2_sample_cli_speculative(monkeypatch, capsys):
 
     main()
     assert "'new_ids':" in capsys.readouterr().out
+
+
+def test_gpt2_sample_cli_speculative_refuses_explicit_topk(monkeypatch):
+    """An EXPLICIT --top_k (even equal to the plain-mode default of 40) must
+    be refused in speculative mode — it samples with temperature only, and
+    silently ignoring a passed flag is worse than erroring."""
+    import sys
+
+    import pytest
+
+    monkeypatch.setattr(sys, "argv", [
+        "sample", "run", "--token_ids", "[7, 2]", "--max_new_tokens", "4",
+        "--temperature", "0.0", "--pretrained", "False", "--eos", "False",
+        "--draft_model_name", "base", "--gamma", "2", "--top_k", "40"])
+    from apps.gpt2.sample import main
+
+    with pytest.raises(SystemExit, match="top_k"):
+        main()

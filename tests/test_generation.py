@@ -402,3 +402,28 @@ def test_top_p_uses_full_vocab_probabilities():
     # token 1; true-mass cumulative reaches 0.7 only inside the tail.
     assert any(t >= 2 for t in seen), "nucleus truncated by candidate renorm"
     assert {0, 1} <= seen
+
+
+def test_generate_cache_is_lru_bounded():
+    """Model's per-instance compiled-sampling-program cache must not grow
+    without bound (a long-lived server sweeping sampling settings would pin
+    every compiled executable and draft params forever). LRU, max 16."""
+    from vitef_tpu.models.registry import _GENERATE_CACHE_MAX, Model
+
+    model = build_model({
+        "implementation": "transformer", "vocab_size": 50, "emb_type": "dict",
+        "emb_dim": 16, "n_heads": 2, "n_layers": 1, "seq_len": 32,
+        "causal": True, "pre_norm": True, "weight_tying": True,
+        "output_type": "sequence_to_sequence", "cls_token": False,
+    }, key=jax.random.key(0))
+    assert isinstance(model, Model)
+    for i in range(_GENERATE_CACHE_MAX + 5):
+        model._generate_cache_lookup(("k", i), lambda i=i: f"prog{i}")
+    cache = model.__dict__["_generate_cache"]
+    assert len(cache) == _GENERATE_CACHE_MAX
+    assert ("k", 0) not in cache and ("k", _GENERATE_CACHE_MAX + 4) in cache
+    # a hit refreshes recency: ("k", 5) survives the next insertion
+    model._generate_cache_lookup(("k", 5), lambda: "hit")
+    model._generate_cache_lookup(("k", 99), lambda: "new")
+    cache = model.__dict__["_generate_cache"]
+    assert ("k", 5) in cache and cache[("k", 5)] == "prog5"

@@ -297,6 +297,33 @@ class TestFastTopK:
         np.testing.assert_array_equal(np.asarray(vals), np.asarray(rv))
         np.testing.assert_array_equal(np.asarray(idx), np.asarray(ri))
 
+    def test_neg_inf_rows_exact(self):
+        """Caller-masked logits: rows containing -inf (incl. all--inf and
+        fewer-than-k-finite rows) must still match lax.top_k bit-for-bit —
+        the -inf pad slots must never leak out-of-range indices, at both
+        divisible and ragged (v % group != 0, last group shorter than k)
+        vocab sizes."""
+        from vitef_tpu.ops.topk import top_k
+
+        rng = np.random.default_rng(2)
+        for v in (520, 1000, 50257):  # 520: last group has only 8 real slots
+            rows = [np.full(v, -np.inf, np.float32)]
+            r = np.full(v, -np.inf, np.float32)
+            r[rng.choice(v, 5, replace=False)] = rng.standard_normal(5)
+            rows.append(r)  # fewer than k finite entries
+            r = np.full(v, -np.inf, np.float32)
+            r[: v // 2] = 5.0
+            rows.append(r)  # massive ties + -inf tail
+            r = rng.standard_normal(v).astype(np.float32)
+            r[rng.choice(v, v // 2, replace=False)] = -np.inf
+            rows.append(r)
+            x = jnp.asarray(np.stack(rows))
+            vals, idx = top_k(x, 40, group=512)
+            rv, ri = jax.lax.top_k(x, 40)
+            np.testing.assert_array_equal(np.asarray(vals), np.asarray(rv))
+            np.testing.assert_array_equal(np.asarray(idx), np.asarray(ri))
+            assert int(np.asarray(idx).max()) < v
+
     def test_small_axis_and_int_fallback(self):
         from vitef_tpu.ops.topk import top_k
 

@@ -12,14 +12,14 @@ import pytest
 from vitef_tpu.models import build_model, generate, generate_speculative
 
 
-def decoder(seed, layers=2, seq_len=64):
+def decoder(seed, layers=2, seq_len=64, compute_dtype="float32"):
     return build_model({
         "implementation": "transformer", "vocab_size": 50, "emb_type": "dict",
         "emb_dim": 32, "n_heads": 4, "n_layers": layers, "seq_len": seq_len,
         "causal": True, "pre_norm": True, "weight_tying": True,
         "output_type": "sequence_to_sequence", "attn_bias": True,
         "ffn_bias": True, "norm_bias": True, "cls_token": False,
-        "pos_emb": True,
+        "pos_emb": True, "compute_dtype": compute_dtype,
     }, key=jax.random.key(seed))
 
 
@@ -48,6 +48,39 @@ def test_self_draft_perfect_acceptance():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
     assert int(stats["rounds"]) == 3  # ceil(12 / 4)
     assert int(stats["accepted"]) == int(stats["drafted"]) == 9
+
+
+def test_stats_exclude_proposals_past_the_cap():
+    """The final round always drafts gamma proposals mechanically, but ones
+    that would land past max_new_tokens must not count — otherwise short
+    generations understate the acceptance rate (drafted inflated)."""
+    target = decoder(1, 2)
+    prompt = jnp.asarray([[4, 9, 2]], jnp.int32)
+    # max_new=11, gamma=3: rounds commit 1+4+4+4; the last round only needs
+    # 2 more tokens, so useful proposals are 3 + 3 + 2 = 8, not 3*3 = 9.
+    _, stats = generate_speculative(
+        target.params, target.config, prompt, 11,
+        draft_params=target.params, draft_cfg=target.config, gamma=3,
+        return_stats=True)
+    assert int(stats["rounds"]) == 3
+    assert int(stats["drafted"]) == 8
+    assert int(stats["accepted"]) == 8  # self-draft: all useful ones accepted
+
+
+def test_bf16_greedy_equivalence():
+    """The greedy-equivalence invariant in the production compute dtype:
+    the verify window forward and generate()'s one-token decode forward must
+    agree on argmax bitwise in bf16 too, not only in the fp32 CPU tests."""
+    target, draft = decoder(0, 3, compute_dtype="bfloat16"), \
+        decoder(7, 1, compute_dtype="bfloat16")
+    prompt = jnp.asarray(
+        np.random.default_rng(4).integers(0, 50, size=(1, 6)), jnp.int32)
+    want = generate(target.params, target.config, prompt, 13, temperature=0.0)
+    for gamma in (1, 4):
+        got = generate_speculative(
+            target.params, target.config, prompt, 13,
+            draft_params=draft.params, draft_cfg=draft.config, gamma=gamma)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
 def test_jit_and_model_method():

@@ -20,6 +20,13 @@ from . import transformer as T
 from .transformer import TransformerConfig
 
 
+# Bound on cached compiled generate()/generate_speculative() programs per
+# Model instance: a long-lived server sweeping sampling settings would
+# otherwise pin every compiled executable (and each draft's params) forever.
+# LRU eviction; serving should reuse a stable sampling configuration anyway.
+_GENERATE_CACHE_MAX = 16
+
+
 @dataclass
 class Model:
     """Functional model bundle: immutable config + factory-made param pytree."""
@@ -27,6 +34,20 @@ class Model:
     params: dict
     config: TransformerConfig
     name: str
+
+    def _generate_cache_lookup(self, key, make):
+        """LRU-bounded per-instance cache of compiled sampling programs."""
+        from collections import OrderedDict
+
+        cache = self.__dict__.setdefault("_generate_cache", OrderedDict())
+        entry = cache.get(key)
+        if entry is None:
+            entry = cache[key] = make()
+            while len(cache) > _GENERATE_CACHE_MAX:
+                cache.popitem(last=False)
+        else:
+            cache.move_to_end(key)
+        return entry
 
     def apply(self, params, x, **kw):
         return T.apply_transformer(params, self.config, x, **kw)
@@ -58,14 +79,11 @@ class Model:
 
         key = (max_new_tokens, temperature, top_k, prompt_mask is None,
                approx_top_k, kv_cache_dtype, top_p, eos_token_id)
-        cache = self.__dict__.setdefault("_generate_cache", {})
-        fn = cache.get(key)
-        if fn is None:
-            fn = cache[key] = jax.jit(functools.partial(
-                _generate, cfg=self.config, max_new_tokens=max_new_tokens,
-                temperature=temperature, top_k=top_k,
-                approx_top_k=approx_top_k, kv_cache_dtype=kv_cache_dtype,
-                top_p=top_p, eos_token_id=eos_token_id))
+        fn = self._generate_cache_lookup(key, lambda: jax.jit(functools.partial(
+            _generate, cfg=self.config, max_new_tokens=max_new_tokens,
+            temperature=temperature, top_k=top_k,
+            approx_top_k=approx_top_k, kv_cache_dtype=kv_cache_dtype,
+            top_p=top_p, eos_token_id=eos_token_id)))
         if rng is None:
             rng = jax.random.key(0)
         if prompt_mask is None:
@@ -88,13 +106,11 @@ class Model:
         # keeping the draft in the cache value pins id() for the entry's life.
         key = ("spec", max_new_tokens, gamma, temperature, return_stats,
                id(draft))
-        cache = self.__dict__.setdefault("_generate_cache", {})
-        entry = cache.get(key)
-        if entry is None:
-            entry = cache[key] = (jax.jit(functools.partial(
+        entry = self._generate_cache_lookup(key, lambda: (jax.jit(
+            functools.partial(
                 _spec, cfg=self.config, max_new_tokens=max_new_tokens,
                 draft_cfg=draft.config, gamma=gamma, temperature=temperature,
-                return_stats=return_stats)), draft)
+                return_stats=return_stats)), draft))
         fn = entry[0]
         if rng is None:
             rng = jax.random.key(0)

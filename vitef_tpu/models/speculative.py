@@ -145,7 +145,11 @@ def generate_speculative(params, cfg: TransformerConfig, prompt,
     int32, plus ``{"rounds", "drafted", "accepted"}`` when ``return_stats``
     (acceptance rate = accepted/drafted is THE serving metric to watch: the
     speedup is ~(1 + accepted/round) target-forwards' worth of tokens per
-    round). Pure and jittable.
+    round). Both counters include only proposals within the
+    ``max_new_tokens`` budget — the final round always drafts ``gamma``
+    proposals mechanically, but ones that would land past the cap are
+    excluded so short generations don't understate the acceptance rate.
+    Pure and jittable.
     """
     _check_decoder(cfg)
     _check_decoder(draft_cfg)
@@ -184,7 +188,7 @@ def generate_speculative(params, cfg: TransformerConfig, prompt,
         return carry[0] < max_new_tokens
 
     def body(carry):
-        n_done, tok, c, t_cache, d_cache, buf, rounds, acc, rng = carry
+        n_done, tok, c, t_cache, d_cache, buf, rounds, acc, drf, rng = carry
         rng, r_draft, r_accept, r_fix = jax.random.split(rng, 4)
 
         # -- draft: gamma+1 one-token steps from `tok` at index c. The
@@ -249,16 +253,20 @@ def generate_speculative(params, cfg: TransformerConfig, prompt,
                              t)
         buf = jax.lax.dynamic_update_slice(buf, emit, (n_done,))
 
+        # Proposal i would commit at output position n_done + i; only the ones
+        # inside the max_new_tokens budget count toward the acceptance stats.
+        useful = jnp.minimum(gamma, max_new_tokens - n_done)
         return (n_done + a + 1, emit[a][None], c + a + 1,
-                t_cache, d_cache, buf, rounds + 1, acc + a, rng)
+                t_cache, d_cache, buf, rounds + 1,
+                acc + jnp.minimum(a, useful), drf + useful, rng)
 
     # n_done counts committed generated tokens; `first` is already in buf[0].
-    n_done, _, _, _, _, buf, rounds, acc, _ = jax.lax.while_loop(
+    n_done, _, _, _, _, buf, rounds, acc, drf, _ = jax.lax.while_loop(
         cond, body, (jnp.int32(1), first, jnp.int32(p),
-                     t_cache, d_cache, buf, jnp.int32(0), jnp.int32(0), rng))
+                     t_cache, d_cache, buf, jnp.int32(0), jnp.int32(0),
+                     jnp.int32(0), rng))
 
     tokens = buf[:max_new_tokens][None]
     if return_stats:
-        return tokens, {"rounds": rounds, "accepted": acc,
-                        "drafted": rounds * gamma}
+        return tokens, {"rounds": rounds, "accepted": acc, "drafted": drf}
     return tokens

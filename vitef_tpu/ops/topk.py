@@ -13,7 +13,14 @@ Every element of the true global top-k has fewer than k elements above it,
 hence fewer than k above it *inside its own group*, so it survives stage 1 —
 the result is EXACT (bit-identical values and indices to ``lax.top_k``,
 including its descending-value / ascending-index tie order, because stage-2
-candidate order preserves group-major index order). Measured on v5e at
+candidate order preserves group-major index order). This holds even for
+rows containing -inf (e.g. caller-masked logits): the -inf PAD slots sit at
+the highest in-group indices of the LAST group, so ``lax.top_k``'s
+lower-index-first tie rule ranks every real entry — including real -inf
+entries — ahead of them in both stages, and with g >= 2 (guaranteed by the
+fallback guard) stage 2 always has >= (g-1)*k >= k real candidates; a pad
+slot can therefore never reach the output (regression-tested on all--inf
+and fewer-than-k-finite rows in tests/test_ops.py). Measured on v5e at
 (256, 50257) k=40: 4.6 ms vs 18.9 ms for ``lax.top_k`` (.topk_bench.py
 methodology: 20 reps chained in one jit, value-fetch sync).
 
