@@ -238,12 +238,24 @@ def train(config: TrainingConfig) -> None:
 
         def set_state(model_flat, optim_flat, training):
             s: TrainState = state_box["state"]
-            params = _unflatten_like(jax.device_get(s.params), model_flat)
+            # _unflatten_like reads only tree structure + shapes — never
+            # device_get the live state: on >1 process the FSDP-sharded
+            # arrays span non-addressable devices and cannot be fetched.
+            params = _unflatten_like(s.params, model_flat)
             params = shard_params(params, mesh, fsdp=config.fsdp)
             opt_state = s.opt_state
             if optim_flat is not None:
-                opt_state = _unflatten_like(jax.device_get(s.opt_state), optim_flat)
-                opt_state = jax.device_put(opt_state)
+                # restore mesh-sharded leaves onto their live sharding (plain
+                # device_put would build single-device arrays that a
+                # multi-process pjit step cannot consume); scalar counters etc.
+                # stay uncommitted so jit places them freely
+                from jax.sharding import NamedSharding
+
+                opt_state = jax.tree.map(
+                    lambda live, host: jax.device_put(host, live.sharding)
+                    if isinstance(live.sharding, NamedSharding)
+                    else jnp.asarray(host),
+                    s.opt_state, _unflatten_like(s.opt_state, optim_flat))
             state_box["state"] = TrainState(
                 params=params, opt_state=opt_state,
                 step=jnp.asarray(int(training["step"]), jnp.int32),
