@@ -493,3 +493,111 @@ def test_training_loss_curve_matches_torch(reference_vitef):
         our_losses.append(float(m["loss"]))
 
     np.testing.assert_allclose(our_losses, torch_losses, rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_training_dynamics_long_horizon(reference_vitef):
+    """300-step synthetic finetune vs the torch reference (VERDICT r2 next #7;
+    reference flow apps/vit/train.py:243-345): loss curve, periodic eval
+    accuracy, and the best-checkpoint step must coincide — with the REAL
+    build_scheduler (warmup + cosine decay) on our side and the reference's
+    own lr_cosine driving torch LambdaLR. The strongest affordable offline
+    stand-in for BASELINE.md accuracy parity: it exercises gradients,
+    momentum, clipping, schedule, eval, and best-model selection end-to-end
+    over a horizon where systematic errors compound."""
+    import torch
+
+    from vitef_tpu.optim import build_optimizer, build_scheduler
+    from vitef_tpu.parallel import init_train_state, make_eval_step, \
+        make_train_step
+
+    ref_optim = __import__("vitef.optim", fromlist=["lr_cosine"])
+
+    kwargs = dict(VIT_LIKE)
+    ref_model, _ = make_ref_model(reference_vitef, **kwargs)
+    ref_model.train()
+    params = to_jax(ref_model, kwargs["n_layers"])
+    cfg = my_config(**kwargs)
+
+    n_steps, base_lr, warmup, min_factor = 300, 0.02, 20, 0.01
+    eval_period, batch = 25, 16
+
+    # class-separable synthetic data: per-class mean patch + noise
+    rng = np.random.default_rng(11)
+    class_means = rng.normal(size=(10, 3, 32, 32)).astype(np.float32)
+
+    def make_set(n, seed):
+        r = np.random.default_rng(seed)
+        y = r.integers(0, 10, size=n)
+        x = class_means[y] + 0.7 * r.normal(size=(n, 3, 32, 32)).astype(np.float32)
+        return x.astype(np.float32), y
+
+    batches = [make_set(batch, 1000 + i) for i in range(n_steps)]
+    eval_x, eval_y = make_set(64, 9)
+
+    # --- torch loop (reference train.py:243-345 incl. best-model policy) ---
+    opt = torch.optim.SGD(ref_model.parameters(), lr=base_lr, momentum=0.9)
+    sched = torch.optim.lr_scheduler.LambdaLR(
+        opt, lambda e: ref_optim.lr_cosine(e, warmup, min_factor, n_steps))
+    t_losses, t_evals = [], {}
+    t_best_acc, t_best_step = 0.0, 0
+    for i, (x, y) in enumerate(batches):
+        opt.zero_grad()
+        loss = torch.nn.functional.cross_entropy(
+            ref_model(torch.from_numpy(x)), torch.from_numpy(y))
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(ref_model.parameters(), 1.0)
+        opt.step()
+        sched.step()
+        t_losses.append(float(loss))
+        if (i + 1) % eval_period == 0:
+            ref_model.eval()
+            with torch.inference_mode():
+                pred = ref_model(torch.from_numpy(eval_x)).argmax(-1).numpy()
+            ref_model.train()
+            acc = float((pred == eval_y).mean())
+            t_evals[i + 1] = acc
+            if acc > t_best_acc:
+                t_best_acc, t_best_step = acc, i + 1
+
+    # --- ours: the real optimizer/scheduler stack, one jitted step ---
+    schedule = build_scheduler(
+        {"scheduler": "cosine", "warmup": warmup, "min_factor": min_factor},
+        n_steps=n_steps)
+    tx, _ = build_optimizer(
+        {"optimizer": "sgd", "lr": base_lr, "momentum": 0.9},
+        schedule=schedule, params=params, components=[], grad_clip=1.0)
+    apply = lambda p, xx, **kw: apply_transformer(p, cfg, xx, **kw)
+    step_fn = make_train_step(apply, tx, donate=False)
+    eval_fn = make_eval_step(apply)
+    state = init_train_state(params, tx)
+    o_losses, o_evals = [], {}
+    o_best_acc, o_best_step = 0.0, 0
+    for i, (x, y) in enumerate(batches):
+        state, m = step_fn(state, (jnp.asarray(x), jnp.asarray(y)))
+        o_losses.append(float(m["loss"]))
+        if (i + 1) % eval_period == 0:
+            acc, _ = eval_fn(state.params, (jnp.asarray(eval_x),
+                                            jnp.asarray(eval_y)))
+            acc = float(acc)
+            o_evals[i + 1] = acc
+            if acc > o_best_acc:
+                o_best_acc, o_best_step = acc, i + 1
+
+    t_losses, o_losses = np.asarray(t_losses), np.asarray(o_losses)
+    # early curve: still numerically coincident
+    np.testing.assert_allclose(o_losses[:50], t_losses[:50],
+                               rtol=5e-3, atol=5e-4)
+    # long horizon: fp round-off compounds chaotically, so compare the
+    # TRAJECTORY statistically — windowed means within 5%
+    for lo in range(0, n_steps, 50):
+        tw, ow = t_losses[lo:lo + 50].mean(), o_losses[lo:lo + 50].mean()
+        assert abs(ow - tw) / max(tw, 1e-3) < 0.05, (lo, tw, ow)
+    # both learned the separable task, and agree on eval trajectory
+    assert t_evals[n_steps] > 0.8 and o_evals[n_steps] > 0.8, (t_evals, o_evals)
+    for s in t_evals:
+        assert abs(o_evals[s] - t_evals[s]) <= 0.08, (s, t_evals[s], o_evals[s])
+    # best-model selection agrees (within eval-accuracy ties)
+    assert abs(o_best_acc - t_best_acc) <= 0.08
+    assert o_best_step == t_best_step or \
+        abs(o_evals[t_best_step] - o_best_acc) <= 0.05
