@@ -1,8 +1,9 @@
 """Capture a jax.profiler trace of the headline bench train step (real TPU).
 
-Run from repo root: python .prof_step.py
+Run from repo root: python tools/profile_step.py [batch]
 Writes the trace under /tmp/vitef_trace/.
 """
+import sys
 import time
 
 import jax
@@ -14,7 +15,7 @@ from vitef_tpu.models import build_model
 from vitef_tpu.optim import build_optimizer, build_scheduler
 from vitef_tpu.parallel import init_train_state, make_train_step
 
-BATCH = 256
+BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 256
 
 model = build_model(
     {
