@@ -356,6 +356,91 @@ class TestFastTopK:
         np.testing.assert_array_equal(np.asarray(idx), np.asarray(ri))
 
 
+class TestPackedMHAMasked:
+    """Ragged-serving key_mask inside the packed kernel: left-padded batches
+    must match the XLA einsum reference on every valid query row, through
+    BOTH the full-L and the block-triangular causal paths."""
+
+    @pytest.mark.parametrize("l", [128, 512])  # full-L / blocked (L>=512)
+    def test_masked_matches_reference(self, l):
+        from vitef_tpu.ops.attention import (
+            attention_reference, fused_mha_packed)
+
+        n, h, d = 3, 2, 16
+        e = h * d
+        rng = np.random.default_rng(5)
+        qkv = jnp.asarray(rng.normal(size=(n, l, 3 * e)) * 0.5, jnp.float32)
+        starts = [0, l // 3, l - 2]  # unpadded, ragged, nearly-all-pad
+        mask = np.zeros((n, l), bool)
+        for i, s in enumerate(starts):
+            mask[i, s:] = True
+
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q, k, v = (t.reshape(n, l, h, d).transpose(0, 2, 1, 3)
+                   for t in (q, k, v))
+        scores_mask = jnp.asarray(mask)[:, None, None, :]
+        # reference with key mask: reuse attention_reference's kv_len-free
+        # form by masking scores manually
+        import math as _math
+
+        s = jnp.einsum("nhqd,nhkd->nhqk", q, k) / _math.sqrt(d)
+        causal = jnp.arange(l)[None, :] <= jnp.arange(l)[:, None]
+        s = jnp.where(causal[None, None] & scores_mask, s, -1e30)
+        w = jax.nn.softmax(s, axis=-1)
+        ref = jnp.einsum("nhqk,nhkd->nhqd", w, v)
+        ref = ref.transpose(0, 2, 1, 3).reshape(n, l, e)
+
+        with pltpu.force_tpu_interpret_mode():
+            out = fused_mha_packed(qkv, h, causal=True,
+                                   key_mask=jnp.asarray(mask))
+        for i, st in enumerate(starts):
+            np.testing.assert_allclose(
+                np.asarray(out)[i, st:], np.asarray(ref)[i, st:],
+                atol=2e-5, rtol=1e-4, err_msg=f"row {i} start {st}")
+
+
+class TestNextTokenCrossEntropy:
+    """logsumexp-gather CE (ops/losses.py) vs the textbook log_softmax+gather
+    form: identical loss AND identical gradients (the perf rewrite must not
+    change training numerics)."""
+
+    @staticmethod
+    def _textbook(logits, tokens):
+        lp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), axis=-1)
+        nll = -jnp.take_along_axis(lp, tokens[:, 1:][..., None], axis=-1)[..., 0]
+        return jnp.mean(nll)
+
+    @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+    def test_matches_textbook(self, dtype):
+        from vitef_tpu.ops import next_token_cross_entropy
+
+        rng = np.random.default_rng(0)
+        logits = jnp.asarray(rng.normal(size=(4, 9, 64)) * 3, dtype)
+        toks = jnp.asarray(rng.integers(0, 64, size=(4, 9)), jnp.int32)
+        a, ga = jax.value_and_grad(next_token_cross_entropy)(logits, toks)
+        b, gb = jax.value_and_grad(self._textbook)(logits, toks)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(ga, np.float32),
+                                   np.asarray(gb, np.float32),
+                                   atol=1e-6, rtol=1e-5)
+
+    def test_ignore_index(self):
+        from vitef_tpu.ops import next_token_cross_entropy
+
+        rng = np.random.default_rng(1)
+        logits = jnp.asarray(rng.normal(size=(2, 8, 32)), jnp.float32)
+        toks = np.asarray(rng.integers(1, 32, size=(2, 8)), np.int32)
+        toks[0, 5:] = 0  # padding
+        masked = next_token_cross_entropy(jnp.asarray(logits),
+                                          jnp.asarray(toks), ignore_index=0)
+        # manual mean over valid targets only
+        lp = jax.nn.log_softmax(logits[:, :-1], axis=-1)
+        nll = -np.take_along_axis(np.asarray(lp), toks[:, 1:, None],
+                                  axis=-1)[..., 0]
+        valid = toks[:, 1:] != 0
+        np.testing.assert_allclose(float(masked), nll[valid].mean(), rtol=1e-6)
+
+
 class TestPackedCausalBlocked:
     """Block-triangular causal packed kernel (L >= 512, L % 256 == 0) vs the
     XLA reference — forward and the blocked backward."""

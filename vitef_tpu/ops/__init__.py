@@ -1,3 +1,4 @@
 from .layernorm import layer_norm  # noqa: F401
 from .attention import multi_head_attention, attention_reference  # noqa: F401
 from .common import resolve_impl, dropout  # noqa: F401
+from .losses import next_token_cross_entropy  # noqa: F401

@@ -85,8 +85,14 @@ def attention_reference(q, k, v, *, causal: bool = False, kv_len: int | None = N
 # B=256 H=12 L=197 D=64 — the d=64 MXU-padding floor is ~2.1 ms).
 
 
-def _packed_mha_fwd_kernel(qkv_ref, b_ref, o_ref, *, scale, n_heads, d, causal,
-                           q_block=None):
+def _packed_mha_fwd_kernel(qkv_ref, b_ref, *rest, scale, n_heads, d, causal,
+                           q_block=None, masked=False):
+    if masked:
+        mask_ref, o_ref = rest
+        kmask = mask_ref[...] != 0  # (1, L) — per-row valid keys
+    else:
+        (o_ref,) = rest
+        kmask = None
     qkv = qkv_ref[...] + b_ref[...]  # (L, 3E); qkv bias folded in-kernel
     l = qkv.shape[0]
     e = n_heads * d
@@ -113,6 +119,8 @@ def _packed_mha_fwd_kernel(qkv_ref, b_ref, o_ref, *, scale, n_heads, d, causal,
                     jnp.int32, (q_block, kv_len), 0)
                 kp = jax.lax.broadcasted_iota(jnp.int32, (q_block, kv_len), 1)
                 s = jnp.where(kp <= qp, s, _NEG_INF)
+                if kmask is not None:
+                    s = jnp.where(kmask[:, :kv_len], s, _NEG_INF)
                 m = jnp.max(s, axis=-1, keepdims=True)
                 p = jnp.exp(s - m)
                 denom = jnp.sum(p, axis=-1, keepdims=True)
@@ -141,6 +149,8 @@ def _packed_mha_fwd_kernel(qkv_ref, b_ref, o_ref, *, scale, n_heads, d, causal,
                                 preferred_element_type=jnp.float32) * scale
         if mask is not None:
             s = jnp.where(mask, s, _NEG_INF)
+        if kmask is not None:
+            s = jnp.where(kmask, s, _NEG_INF)
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         denom = jnp.sum(p, axis=-1, keepdims=True)
@@ -151,59 +161,79 @@ def _packed_mha_fwd_kernel(qkv_ref, b_ref, o_ref, *, scale, n_heads, d, causal,
 
 def _packed_mha_bwd_causal_blocked_kernel(qkv_ref, b_ref, g_ref, dqkv_ref,
                                           db_ref, *, scale, n_heads, d,
-                                          q_block):
+                                          q_block, two_pass):
     """Block-triangular causal backward: per q-block, recompute the softmax
     STRIP (BQ, (qi+1)·BQ) against the static key prefix and run the gradient
     algebra on the strip only — the upper triangle is never touched (the
     full-L backward computes and masks it). dk/dv accumulate per-head in a
     zero-padded (L, d) f32 buffer via static-slice adds.
+
+    ``two_pass``: the kv-STRIP-tiled variant of the full-L backward's
+    two-pass scheduling win (+23% there) for the long-L case where all
+    heads' full (L, L) probabilities exceed VMEM: within each q-strip,
+    pass 1 recomputes EVERY head's (BQ, kv_len) softmax strip (MXU score
+    matmuls interleaving with VPU softmaxes across heads), pass 2 runs all
+    heads' gradient matmuls back-to-back. Only n_heads (BQ, kv_len) f32
+    strips are ever resident. Bit-identical to the interleaved order.
     """
     qkv = qkv_ref[...] + b_ref[...]  # (L, 3E)
     g = g_ref[...]  # (L, E)
     l = qkv.shape[0]
     e = n_heads * d
     nq = l // q_block
-    dqs, dks, dvs = [], [], []
-    for h in range(n_heads):
-        qh = qkv[:, h * d:(h + 1) * d]
-        kh = qkv[:, e + h * d:e + (h + 1) * d]
-        vh = qkv[:, 2 * e + h * d:2 * e + (h + 1) * d]
-        gh = g[:, h * d:(h + 1) * d]
-        dq_blocks = []
-        dk_acc = jnp.zeros((l, d), jnp.float32)
-        dv_acc = jnp.zeros((l, d), jnp.float32)
-        for qi in range(nq):
-            kv_len = (qi + 1) * q_block
-            qb = qh[qi * q_block:kv_len]
-            gb = gh[qi * q_block:kv_len]
-            s = jax.lax.dot_general(
-                qb, kh[:kv_len], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale
-            qp = qi * q_block + jax.lax.broadcasted_iota(
-                jnp.int32, (q_block, kv_len), 0)
-            kp = jax.lax.broadcasted_iota(jnp.int32, (q_block, kv_len), 1)
-            s = jnp.where(kp <= qp, s, _NEG_INF)
-            m = jnp.max(s, axis=-1, keepdims=True)
-            ex = jnp.exp(s - m)
-            p = ex / jnp.sum(ex, axis=-1, keepdims=True)  # (BQ, kv_len)
-            pb = p.astype(qkv.dtype)
-            dv = jax.lax.dot_general(pb, gb, (((0,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
-            dp = jax.lax.dot_general(gb, vh[:kv_len], (((1,), (1,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
-            delta = jnp.sum(p * dp, axis=-1, keepdims=True)
-            ds = (p * (dp - delta) * scale).astype(qkv.dtype)
-            dq_blocks.append(jnp.dot(ds, kh[:kv_len],
-                                     preferred_element_type=jnp.float32))
-            dk = jax.lax.dot_general(ds, qb, (((0,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
+
+    def strip_softmax(h, qi):
+        kv_len = (qi + 1) * q_block
+        qb = qkv[qi * q_block:kv_len, h * d:(h + 1) * d]
+        s = jax.lax.dot_general(
+            qb, qkv[:kv_len, e + h * d:e + (h + 1) * d],
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        qp = qi * q_block + jax.lax.broadcasted_iota(
+            jnp.int32, (q_block, kv_len), 0)
+        kp = jax.lax.broadcasted_iota(jnp.int32, (q_block, kv_len), 1)
+        s = jnp.where(kp <= qp, s, _NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        ex = jnp.exp(s - m)
+        return ex / jnp.sum(ex, axis=-1, keepdims=True)  # (BQ, kv_len)
+
+    def strip_grads(h, qi, p):
+        kv_len = (qi + 1) * q_block
+        qb = qkv[qi * q_block:kv_len, h * d:(h + 1) * d]
+        kh = qkv[:kv_len, e + h * d:e + (h + 1) * d]
+        vh = qkv[:kv_len, 2 * e + h * d:2 * e + (h + 1) * d]
+        gb = g[qi * q_block:kv_len, h * d:(h + 1) * d]
+        pb = p.astype(qkv.dtype)
+        dv = jax.lax.dot_general(pb, gb, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(gb, vh, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        delta = jnp.sum(p * dp, axis=-1, keepdims=True)
+        ds = (p * (dp - delta) * scale).astype(qkv.dtype)
+        dq = jnp.dot(ds, kh, preferred_element_type=jnp.float32)
+        dk = jax.lax.dot_general(ds, qb, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        return dq, dk, dv
+
+    dq_blocks = [[] for _ in range(n_heads)]
+    dk_acc = [jnp.zeros((l, d), jnp.float32) for _ in range(n_heads)]
+    dv_acc = [jnp.zeros((l, d), jnp.float32) for _ in range(n_heads)]
+    for qi in range(nq):
+        kv_len = (qi + 1) * q_block
+        tail = ((0, l - kv_len), (0, 0))
+        if two_pass:
+            strips = [strip_softmax(h, qi) for h in range(n_heads)]
+        for h in range(n_heads):
+            p = strips[h] if two_pass else strip_softmax(h, qi)
+            dq, dk, dv = strip_grads(h, qi, p)
+            dq_blocks[h].append(dq)
             # static-shape accumulate (scatter/.at[] captures consts in pallas)
-            tail = ((0, l - kv_len), (0, 0))
-            dk_acc = dk_acc + jnp.pad(dk, tail)
-            dv_acc = dv_acc + jnp.pad(dv, tail)
-        dqs.append(jnp.concatenate(dq_blocks, axis=0).astype(dqkv_ref.dtype))
-        dks.append(dk_acc.astype(dqkv_ref.dtype))
-        dvs.append(dv_acc.astype(dqkv_ref.dtype))
+            dk_acc[h] = dk_acc[h] + jnp.pad(dk, tail)
+            dv_acc[h] = dv_acc[h] + jnp.pad(dv, tail)
+    dqs = [jnp.concatenate(b, axis=0).astype(dqkv_ref.dtype)
+           for b in dq_blocks]
+    dks = [a.astype(dqkv_ref.dtype) for a in dk_acc]
+    dvs = [a.astype(dqkv_ref.dtype) for a in dv_acc]
     dqkv = jnp.concatenate(dqs + dks + dvs, axis=-1)
     dqkv_ref[...] = dqkv
     partial_db = jnp.sum(dqkv.astype(jnp.float32), axis=0, keepdims=True)
@@ -300,21 +330,28 @@ def _causal_q_block(l: int, causal: bool) -> int | None:
     return None
 
 
-def _packed_call_fwd(qkv, bias2d, n_heads, causal):
+def _packed_call_fwd(qkv, bias2d, n_heads, causal, key_mask=None):
     n, l, f = qkv.shape
     e = f // 3
     d = e // n_heads
     kernel = functools.partial(
         _packed_mha_fwd_kernel, scale=1.0 / math.sqrt(d), n_heads=n_heads,
         d=d, causal=causal, q_block=_causal_q_block(l, causal),
+        masked=key_mask is not None,
     )
+    in_specs = [pl.BlockSpec((None, l, f), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, f), lambda b: (0, 0),
+                             memory_space=pltpu.VMEM)]
+    operands = [qkv, bias2d]
+    if key_mask is not None:
+        in_specs.append(pl.BlockSpec((None, 1, l), lambda b: (b, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(key_mask.astype(jnp.int32).reshape(n, 1, l))
     return pl.pallas_call(
         kernel,
         grid=(n,),
-        in_specs=[pl.BlockSpec((None, l, f), lambda b: (b, 0, 0),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((1, f), lambda b: (0, 0),
-                               memory_space=pltpu.VMEM)],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((None, l, e), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, l, e), qkv.dtype),
@@ -325,7 +362,7 @@ def _packed_call_fwd(qkv, bias2d, n_heads, causal):
             bytes_accessed=(f + e) * l * n * qkv.dtype.itemsize,
             transcendentals=n_heads * l * l * n,
         ),
-    )(qkv, bias2d)
+    )(*operands)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
@@ -345,9 +382,11 @@ def _packed_mha_bwd(n_heads, causal, residuals, g):
     d = e // n_heads
     qb = _causal_q_block(l, causal)
     if qb:
+        # strip two-pass needs all heads' (BQ, kv_len<=L) f32 strips resident
         kernel = functools.partial(
             _packed_mha_bwd_causal_blocked_kernel, scale=1.0 / math.sqrt(d),
             n_heads=n_heads, d=d, q_block=qb,
+            two_pass=n_heads * qb * l * 4 <= 24 * 1024 * 1024,
         )
     else:
         kernel = functools.partial(
@@ -389,7 +428,8 @@ def packed_mha_supported(l: int, e: int, itemsize: int = 2) -> bool:
     return per_program <= _PACKED_VMEM_BUDGET
 
 
-def fused_mha_packed(qkv, n_heads: int, causal: bool = False, bias=None):
+def fused_mha_packed(qkv, n_heads: int, causal: bool = False, bias=None,
+                     key_mask=None):
     """Fused softmax attention on packed qkv (N, L, 3E) -> (N, L, E).
 
     Head layout matches the torch fused-qkv Linear (reference
@@ -398,7 +438,17 @@ def fused_mha_packed(qkv, n_heads: int, causal: bool = False, bias=None):
     (column sums of the dqkv cotangent) accumulates inside the backward
     kernel instead of a separate full-cotangent XLA reduce pass.
     Differentiable via the packed backward kernel.
+
+    ``key_mask`` (N, L) bool marks VALID keys (False = padding, e.g. the
+    left-pad region of ragged serving prompts) — masked keys are excluded
+    per row inside the kernel. The masked path is forward-only (the serving
+    prefill); training never uses it.
     """
+    if key_mask is not None:
+        bias2d = (jnp.zeros((1, qkv.shape[-1]), qkv.dtype) if bias is None
+                  else bias.astype(qkv.dtype).reshape(1, -1))
+        return _packed_call_fwd(qkv, bias2d, n_heads, causal,
+                                key_mask=key_mask)
     if bias is None:
         bias = jnp.zeros((qkv.shape[-1],), qkv.dtype)
     return _packed_mha(qkv, bias.astype(qkv.dtype), n_heads, causal)
