@@ -3,8 +3,11 @@
 Run from repo root: python tools/profile_step.py [batch]
 Writes the trace under /tmp/vitef_trace/.
 """
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
