@@ -74,6 +74,14 @@ class TrainingConfig:
     n_steps: int = 10_000
     grad_acc_steps: int = 1
     grad_clip: float | None = None
+    # Cap on the per-device microbatch (0 disables). Above it, the step
+    # auto-selects exact gradient accumulation: on v5e a 1x512 ViT-B step
+    # exceeds HBM and XLA panic-remats the fc1/patchify fusions (~29 ms of
+    # recompute, 1108 img/s) while 2x256 accumulation runs 1229 img/s —
+    # faster than even a plain 256 step (PERF.md "Batch-512 inversion").
+    # Exact for LayerNorm models: mean of equal-microbatch mean-gradients
+    # == full-batch gradient (grad-acc equivalence test, tests/test_parallel.py).
+    auto_microbatch: int = 256
 
     # Evaluation
     eval_period: int = 1000
@@ -116,6 +124,21 @@ class TrainingConfig:
             self.seed = 42
         if isinstance(self.image_dim, list):
             self.image_dim = tuple(self.image_dim)
+
+
+def _auto_grad_acc(per_dev: int, cap: int) -> int:
+    """Smallest in-step microbatch split (1..8) bringing the per-device rows
+    under ``cap`` — 1 if already under, not evenly splittable, or cap<=0.
+
+    Numerically exact (equal microbatches -> mean of mean-gradients is the
+    full-batch gradient); on v5e it turns the batch-512 HBM panic-remat
+    regression into the FASTEST config (PERF.md "Batch-512 inversion")."""
+    if cap <= 0 or per_dev <= cap:
+        return 1
+    for acc in range(2, 9):
+        if per_dev % acc == 0 and per_dev // acc <= cap:
+            return acc
+    return 1
 
 
 def train(config: TrainingConfig) -> None:
@@ -217,8 +240,19 @@ def train(config: TrainingConfig) -> None:
             components=config.components,
             grad_clip=config.grad_clip,
         )
+        grad_acc_steps = config.grad_acc_steps
+        if grad_acc_steps == 1 and config.auto_microbatch > 0:
+            # Per-process batch rows per local dp-device per microbatch.
+            local_dp = max(mesh.shape["dp"] // jax.process_count(), 1)
+            per_dev = config.batch_size // min(local_dp, jax.local_device_count())
+            grad_acc_steps = _auto_grad_acc(per_dev, config.auto_microbatch)
+            if grad_acc_steps > 1:
+                logger.info(
+                    f"Per-device batch {per_dev} > auto_microbatch "
+                    f"{config.auto_microbatch}: using exact gradient "
+                    f"accumulation x{grad_acc_steps} (see PERF.md).")
         step_fn = make_train_step(
-            model.apply, tx, grad_acc_steps=config.grad_acc_steps,
+            model.apply, tx, grad_acc_steps=grad_acc_steps,
             schedule=schedule, base_lr=config.lr, trainable=trainable,
             mesh=mesh if use_shard_map else None,
             block_grad_norms=config.log_block_grad_norms,

@@ -161,6 +161,43 @@ def test_train_bitwise_reproducible(env):
         np.testing.assert_array_equal(model_a[k], model_b[k], err_msg=k)
 
 
+def test_auto_grad_acc_selection():
+    """Auto microbatch split (PERF.md 'Batch-512 inversion'): smallest divisor
+    bringing per-device rows under the cap; 1 when under, prime, or disabled."""
+    from apps.vit.train import _auto_grad_acc
+
+    assert _auto_grad_acc(512, 256) == 2
+    assert _auto_grad_acc(256, 256) == 1
+    assert _auto_grad_acc(384, 256) == 2
+    assert _auto_grad_acc(1024, 256) == 4
+    assert _auto_grad_acc(500, 256) == 2
+    assert _auto_grad_acc(509, 256) == 1   # prime: not evenly splittable
+    assert _auto_grad_acc(512, 0) == 1     # disabled
+
+
+def test_auto_microbatch_split_matches_plain(env):
+    """Training with the auto split engaged (cap=1 -> 2 microbatches/step)
+    matches the plain full-batch run: same data order, same number of
+    optimizer steps, near-identical weights (reduction-order fp noise only)."""
+    from apps.vit.train import train
+
+    def leaves_of(name, **overrides):
+        cfg = _train_config(env, log_dir=name, n_steps=8, eval_period=8,
+                            **overrides)
+        train(cfg)
+        run = env / "savings" / "runs" / name
+        ckpt = sorted((run / "checkpoints").iterdir())[-1] / "model.npz"
+        with np.load(ckpt) as z:
+            return {k: z[k].copy() for k in z.files}
+
+    plain = leaves_of("mb_plain", auto_microbatch=0)
+    split = leaves_of("mb_split", auto_microbatch=1)  # per_dev=2 -> acc x2
+    assert set(plain) == set(split)
+    for k in plain:
+        np.testing.assert_allclose(split[k], plain[k], atol=1e-5, rtol=1e-5,
+                                   err_msg=k)
+
+
 def test_run_evaluation_partial_final_batch(env):
     """drop_last=False remainder batch: accuracy is the mean of BATCH means
     with the partial batch weighted like a full one — the reference's

@@ -255,6 +255,29 @@ def test_synthetic_dataset():
     assert x.shape == (16, 3, 16, 16)
 
 
+def test_synthetic_encoded_n_samples():
+    """``synthetic-<n>`` sizes the dataset from the name (CLI runs can't pass
+    dataset kwargs; batch 512 needs more than the 256-sample default)."""
+    ds = build_dataset({"dataset_name": "synthetic-4096", "mode": "train"})
+    assert len(ds) == 4096
+
+
+def test_loader_zero_batches_raises():
+    """batch_size > dataset with drop_last must fail fast at construction —
+    a 0-batch epoch inside make_iterable's infinite cycle is a silent
+    pure-Python busy spin (observed: 20+ min 'hang' of apps.vit.train on the
+    default 256-sample synthetic dataset at batch 512)."""
+    ds = build_dataset({"dataset_name": "synthetic", "mode": "train",
+                        "n_samples": 64})
+    with pytest.raises(ValueError, match="0 batches"):
+        Loader(ds, batch_size=128, size=16, mode="train", drop_last=True,
+               num_workers=0)
+    # drop_last=False keeps the short final batch: fine.
+    loader = Loader(ds, batch_size=128, size=16, mode="train", drop_last=False,
+                    num_workers=0)
+    assert len(loader) == 1
+
+
 def test_loader_sharding_disjoint_and_complete():
     """Multi-host shards: disjoint, identically-shuffled, covering the epoch."""
     from vitef_tpu.data.images.datasets import ImageDataset

@@ -72,7 +72,12 @@ def build_dataset(config: dict[str, Any]) -> D.ImageDataset:
         config["corruption_type"] = ctype
         config["corruption_severity"] = int(severity)
 
-    if name == "synthetic":
+    if name.startswith("synthetic"):
+        # Encoded sizing (same spirit as the corruption formats):
+        # ``synthetic-<n_samples>`` — e.g. ``synthetic-4096`` for CLI runs
+        # whose batch size exceeds the 256-sample default.
+        if name != "synthetic":
+            config["n_samples"] = int(name.split("synthetic-", 1)[-1])
         cls, cfg_cls = D.SyntheticDataset, D.SyntheticDatasetConfig
     elif name == "cifar10":
         cls, cfg_cls = D.Cifar10Dataset, D.Cifar10DatasetConfig
@@ -166,6 +171,17 @@ class Loader:
         self.shard_count = shard_count
         self._pool = None
         self.n_classes = dataset.n_classes
+        if len(self) == 0:
+            # Fail fast: a zero-batch epoch inside make_iterable's infinite
+            # cycle is a pure-Python busy spin (epoch setup forever, no batch
+            # ever yielded) — the classic symptom is batch_size > dataset.
+            raise ValueError(
+                f"Loader yields 0 batches/epoch: {len(self.indices)} sample(s)"
+                f" (shard {shard_index}/{shard_count}) with batch_size="
+                f"{batch_size}, drop_last={drop_last}. Lower batch_size or "
+                "use a larger dataset (synthetic-<n_samples> sizes the "
+                "synthetic one)."
+            )
 
     # -- sizing ---------------------------------------------------------
     def _shard_size(self) -> int:
