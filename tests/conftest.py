@@ -42,6 +42,15 @@ def _ensure_stub(name: str) -> None:
         return type(attr, (), {})
 
     stub.__getattr__ = _getattr
+    # A real (loader-less) spec: importlib.util.find_spec consults
+    # sys.modules first and RAISES on a module whose __spec__ is None —
+    # transformers probes find_spec("torchvision") at import time, so a
+    # spec-less stub poisons any later `import transformers` in the same
+    # process (test-order-dependent suite errors). With a spec, the probe
+    # succeeds and the missing dist metadata marks the package unavailable.
+    import importlib.machinery
+
+    stub.__spec__ = importlib.machinery.ModuleSpec(name, None)
     sys.modules[name] = stub
     if "." in name:
         parent, _, child = name.rpartition(".")
@@ -77,11 +86,14 @@ def reference_vitef():
     Stubs tiktoken (absent in this image) which the reference's gpt2 module
     imports at package-import time.
     """
+    import importlib.machinery
     import types
 
     if "tiktoken" not in sys.modules:
         stub = types.ModuleType("tiktoken")
         stub.get_encoding = lambda name: None
+        # see _ensure_stub: a None __spec__ poisons later find_spec probes
+        stub.__spec__ = importlib.machinery.ModuleSpec("tiktoken", None)
         sys.modules["tiktoken"] = stub
     ref_src = "/root/reference/src"
     if ref_src not in sys.path:
