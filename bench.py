@@ -3,7 +3,9 @@
 Measures the full production train path on the available accelerator: on-device
 augment (RandomResizedCrop + flip + normalize of raw uint8 CIFAR batches) + one
 jitted train step (forward + backward + clip + SGD + cosine schedule) in
-bfloat16 with fp32 accumulation.
+bfloat16 with fp32 accumulation, at the published protocol's batch 512 run as
+exact 2x256 gradient accumulation (the shipped app default — see PERF.md
+"Batch-512 inversion").
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 The reference publishes no throughput numbers (BASELINE.md), so ``vs_baseline``
@@ -23,6 +25,16 @@ import numpy as np
 BATCH = 256
 WARMUP = 3
 STEPS = 10
+
+# Headline operating point: the published finetune protocol trains at batch
+# 512 (reference apps/vit/configs/cifar10.yaml). A plain 1x512 step exceeds
+# HBM and XLA panic-remats ~29 ms of recompute; the shipped app default
+# (auto_microbatch=256) runs it as exact 2x256 gradient accumulation, which
+# also amortises the fixed per-step tail — measured FASTER per image than a
+# plain 256 step (PERF.md "Batch-512 inversion"). The headline measures that
+# production configuration.
+HEADLINE_BATCH = 512
+HEADLINE_GRAD_ACC = 2
 
 # bf16 peak TFLOPs per chip (best-effort detection; v5e = 197, v4 = 275)
 PEAK_TFLOPS = {"v5e": 197e12, "v5litepod": 197e12, "v5lite": 197e12,
@@ -123,14 +135,16 @@ def main() -> None:
         {"optimizer": "sgd", "lr": 0.01, "momentum": 0.9},
         schedule=schedule, grad_clip=1.0,
     )
-    step_fn = make_train_step(model.apply, tx, schedule=schedule, base_lr=0.01)
+    batch = HEADLINE_BATCH
+    step_fn = make_train_step(model.apply, tx, schedule=schedule, base_lr=0.01,
+                              grad_acc_steps=HEADLINE_GRAD_ACC)
     state = init_train_state(model.params, tx)
 
     # Raw CIFAR-style uint8 batch; crop boxes resampled on host per step
     # (exactly what the production loader feeds the device).
     host_rng = np.random.default_rng(0)
-    raw = jnp.asarray(host_rng.integers(0, 256, size=(BATCH, 32, 32, 3), dtype=np.uint8))
-    y = jnp.asarray(host_rng.integers(0, 10, size=(BATCH,)), jnp.int32)
+    raw = jnp.asarray(host_rng.integers(0, 256, size=(batch, 32, 32, 3), dtype=np.uint8))
+    y = jnp.asarray(host_rng.integers(0, 10, size=(batch,)), jnp.int32)
 
     def one_step(state, boxes, flips):
         x = augment_train_device(raw, boxes, flips, size=224,
@@ -138,7 +152,7 @@ def main() -> None:
         return step_fn(state, (x, y))
 
     def sample():
-        boxes, flips = sample_crop_batch(host_rng, BATCH, 32, 32)
+        boxes, flips = sample_crop_batch(host_rng, batch, 32, 32)
         return jnp.asarray(boxes), jnp.asarray(flips)
 
     # NB: synchronization is a VALUE fetch, not block_until_ready — remote
@@ -155,7 +169,7 @@ def main() -> None:
     dt = time.perf_counter() - t0
 
     n_chips = jax.local_device_count()
-    images_per_sec_per_chip = BATCH * STEPS / dt / n_chips
+    images_per_sec_per_chip = batch * STEPS / dt / n_chips
     roofline = detect_peak() / VIT_B_TRAIN_FLOPS_PER_IMG  # img/s at 100% MXU
     print(json.dumps({
         "metric": "vit_b16_cifar10_finetune_throughput",
