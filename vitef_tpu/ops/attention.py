@@ -30,6 +30,17 @@ from jax.experimental.pallas import tpu as pltpu
 from .common import best_precision, resolve_impl
 
 _NEG_INF = -1e30
+# Forward-kernel softmax: exp(x) == exp2(x * log2 e), so fold log2(e) into
+# the (epilogue-fused) score scale and compute exp2 on the compute-dtype
+# (bf16) difference — drops the separate f32->bf16 probability convert and
+# halves the transcendental VPU data width. A/B'd -3% on the fwd kernel at
+# ViT shapes with bit-identical bf16 outputs (.exp2_ab.py, interleaved min:
+# v0 2.40 -> v4 2.33 ms/apply incl. chain overhead; kernel ~0.99 -> ~0.92).
+# The BACKWARD keeps the f32-p form: the same refold (and a full (ex, 1/sum)
+# row-scale refold onto the narrow operands) measured +9% SLOWER there
+# (.bwd_exp2_ab.py: 4.11 old / 4.13 exp2-f32 / 4.52 refold) — Mosaic's
+# interleave of the old form is already optimal; do not retry.
+_LOG2E = math.log2(math.e)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -114,7 +125,7 @@ def _packed_mha_fwd_kernel(qkv_ref, b_ref, *rest, scale, n_heads, d, causal,
                 qb = qh[qi * q_block:kv_len]
                 s = jax.lax.dot_general(
                     qb, kh[:kv_len], (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32) * scale
+                    preferred_element_type=jnp.float32) * (scale * _LOG2E)
                 qp = qi * q_block + jax.lax.broadcasted_iota(
                     jnp.int32, (q_block, kv_len), 0)
                 kp = jax.lax.broadcasted_iota(jnp.int32, (q_block, kv_len), 1)
@@ -122,9 +133,10 @@ def _packed_mha_fwd_kernel(qkv_ref, b_ref, *rest, scale, n_heads, d, causal,
                 if kmask is not None:
                     s = jnp.where(kmask[:, :kv_len], s, _NEG_INF)
                 m = jnp.max(s, axis=-1, keepdims=True)
-                p = jnp.exp(s - m)
-                denom = jnp.sum(p, axis=-1, keepdims=True)
-                o = jnp.dot(p.astype(vh.dtype), vh[:kv_len],
+                p = jnp.exp2((s - m).astype(vh.dtype))
+                denom = jnp.sum(p, axis=-1, keepdims=True,
+                                dtype=jnp.float32)
+                o = jnp.dot(p, vh[:kv_len],
                             preferred_element_type=jnp.float32)
                 blocks.append((o / denom).astype(o_ref.dtype))
             outs.append(jnp.concatenate(blocks, axis=0))
@@ -146,15 +158,15 @@ def _packed_mha_fwd_kernel(qkv_ref, b_ref, *rest, scale, n_heads, d, causal,
         kh = qkv[:, e + h * d:e + (h + 1) * d]
         vh = qkv[:, 2 * e + h * d:2 * e + (h + 1) * d]
         s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
+                                preferred_element_type=jnp.float32) * (scale * _LOG2E)
         if mask is not None:
             s = jnp.where(mask, s, _NEG_INF)
         if kmask is not None:
             s = jnp.where(kmask, s, _NEG_INF)
         m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        denom = jnp.sum(p, axis=-1, keepdims=True)
-        o = jnp.dot(p.astype(vh.dtype), vh, preferred_element_type=jnp.float32)
+        p = jnp.exp2((s - m).astype(vh.dtype))
+        denom = jnp.sum(p, axis=-1, keepdims=True, dtype=jnp.float32)
+        o = jnp.dot(p, vh, preferred_element_type=jnp.float32)
         outs.append((o / denom).astype(o_ref.dtype))
     o_ref[...] = jnp.concatenate(outs, axis=-1)
 
