@@ -116,6 +116,13 @@ def make_train_step(
             else jnp.zeros((grad_acc_steps,))
         )
 
+        # NB: UNROLLING small accumulation counts (python loop over
+        # microbatches, fused add+scale) was A/B-measured 7% SLOWER e2e at
+        # 2x256 (1145 vs 1233 img/s): without the scan carry's forced
+        # serialization XLA interleaves the microbatches and the working set
+        # grows back to the full-batch HBM footprint (panic remat — the very
+        # regression the auto-microbatch split removes). The scan IS the
+        # memory fence; do not "optimize" it away.
         def body(carry, inp):
             loss_acc, grads_acc, run = carry
             xi, yi, ri = inp
