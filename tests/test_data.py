@@ -239,6 +239,28 @@ def test_augment_train_device_shapes_flip():
     assert np.allclose(out[1], noflip[1][:, :, ::-1], atol=1e-5)
 
 
+def test_augment_pallas_matches_xla_path():
+    """The TPU pallas augment kernel (interpret mode here) agrees with the
+    XLA scale_and_translate path within ~1.5 uint8 intensity levels (same
+    separable bilinear map; default-precision MXU f32 delta only)."""
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.default_rng(11)
+    batch = rng.integers(0, 256, size=(4, 32, 32, 3), dtype=np.uint8)
+    boxes, flips = T.sample_crop_batch(rng, 4, 32, 32)
+    ref = np.asarray(T.augment_train_device(
+        jnp.asarray(batch), jnp.asarray(boxes), jnp.asarray(flips),
+        size=224, compute_dtype=jnp.float32))
+    with pltpu.force_tpu_interpret_mode():
+        ours = np.asarray(T._augment_pallas(
+            jnp.asarray(batch), jnp.asarray(boxes), jnp.asarray(flips),
+            size=224, compute_dtype=jnp.float32))
+    d = np.abs(ref - ours)
+    # normalized units: 1 intensity level ~= 1/(255*std) ~= 0.0175
+    assert d.max() < 0.05 and d.mean() < 0.005
+
+
 def test_synthetic_dataset():
     """Offline verification dataset: fixed-size, class-separable, mode-seeded."""
     train = build_dataset({"dataset_name": "synthetic", "mode": "train",

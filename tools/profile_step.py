@@ -1,6 +1,6 @@
 """Capture a jax.profiler trace of the headline bench train step (real TPU).
 
-Run from repo root: python tools/profile_step.py [batch]
+Run from repo root: python tools/profile_step.py [batch] [grad_acc_steps]
 Writes the trace under /tmp/vitef_trace/.
 """
 import os
@@ -19,6 +19,7 @@ from vitef_tpu.optim import build_optimizer, build_scheduler
 from vitef_tpu.parallel import init_train_state, make_train_step
 
 BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+GRAD_ACC = int(sys.argv[2]) if len(sys.argv) > 2 else 1
 
 model = build_model(
     {
@@ -38,7 +39,8 @@ tx, _ = build_optimizer(
     {"optimizer": "sgd", "lr": 0.01, "momentum": 0.9},
     schedule=schedule, grad_clip=1.0,
 )
-step_fn = make_train_step(model.apply, tx, schedule=schedule, base_lr=0.01)
+step_fn = make_train_step(model.apply, tx, schedule=schedule, base_lr=0.01,
+                          grad_acc_steps=GRAD_ACC)
 state = init_train_state(model.params, tx)
 
 host_rng = np.random.default_rng(0)
