@@ -81,11 +81,13 @@ def pipeline() -> None:
         {"optimizer": "sgd", "lr": 0.01, "momentum": 0.9},
         schedule=schedule, grad_clip=1.0,
     )
-    step_fn = make_train_step(model.apply, tx, schedule=schedule, base_lr=0.01)
+    batch = HEADLINE_BATCH
+    step_fn = make_train_step(model.apply, tx, schedule=schedule, base_lr=0.01,
+                              grad_acc_steps=HEADLINE_GRAD_ACC)
     state = init_train_state(model.params, tx)
 
     ds = SyntheticDataset(SyntheticDatasetConfig(n_samples=4096, image_size=32))
-    loader = Loader(ds, batch_size=BATCH, size=224, mode="train",
+    loader = Loader(ds, batch_size=batch, size=224, mode="train",
                     compute_dtype="bfloat16")
     it = make_iterable(loader)
 
@@ -99,7 +101,7 @@ def pipeline() -> None:
     dt = time.perf_counter() - t0
 
     n_chips = jax.local_device_count()
-    images_per_sec_per_chip = BATCH * STEPS / dt / n_chips
+    images_per_sec_per_chip = batch * STEPS / dt / n_chips
     roofline = detect_peak() / VIT_B_TRAIN_FLOPS_PER_IMG
     print(json.dumps({
         "metric": "vit_b16_pipeline_throughput",
