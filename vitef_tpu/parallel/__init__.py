@@ -11,6 +11,13 @@ from .mesh import (  # noqa: F401
     shard_batch,
     shard_params,
 )
+from .pipeline import (  # noqa: F401
+    build_pipeline_mesh,
+    make_pipeline_train_step,
+    pipeline_state_shardings,
+    stack_block_params,
+    unstack_block_params,
+)
 from .train_step import (  # noqa: F401
     TrainState,
     cross_entropy_loss,
