@@ -18,6 +18,12 @@ from .pipeline import (  # noqa: F401
     stack_block_params,
     unstack_block_params,
 )
+from .sequence import (  # noqa: F401
+    apply_transformer_sp,
+    build_sp_mesh,
+    make_sp_train_step,
+    ring_attention,
+)
 from .train_step import (  # noqa: F401
     TrainState,
     cross_entropy_loss,
