@@ -18,6 +18,12 @@ from .pipeline import (  # noqa: F401
     stack_block_params,
     unstack_block_params,
 )
+from .moe import (  # noqa: F401
+    apply_moe_ffn,
+    apply_moe_ffn_ep,
+    init_moe_ffn,
+    moe_param_shardings,
+)
 from .sequence import (  # noqa: F401
     apply_transformer_sp,
     build_sp_mesh,
