@@ -8,6 +8,7 @@ from .transformer import (  # noqa: F401
 )
 from .registry import Model, build_model  # noqa: F401
 from .generation import generate, prefill, init_kv_cache, sample_token  # noqa: F401
+from .serving import DecodeServer, Request  # noqa: F401
 from .speculative import generate_speculative  # noqa: F401
 from .vit import ViTConfig, build_vit  # noqa: F401
 from .gpt2 import GPT2Config, build_gpt2  # noqa: F401

@@ -1,0 +1,273 @@
+"""Continuous batching: a slot-based decode server over the KV cache.
+
+Beyond-parity serving capability (the reference has no serving path at all;
+our ``generate()`` is batch-synchronous — every sequence in a batch starts
+and stops together). Production decode wants **continuous batching**: a
+fixed pool of ``n_slots`` cache rows, new requests admitted into free slots
+the moment one finishes (EOS or budget), so the chip never idles waiting for
+the longest request in a wave.
+
+Design (host-orchestrated, device-resident state — the TPU-native shape of
+vLLM-style scheduling without its paged allocator, which XLA's static shapes
+don't want anyway):
+
+  - The KV cache is a (n_slots, h, Lmax, d) pool per layer. Each slot has an
+    independent write position ``pos`` (its token count): the decode step is
+    ONE jitted SPMD program over all slots — per-slot positions ride as a
+    (S,) vector, the attention validity mask is ``arange(Lmax) <= pos[s]``
+    per row, and the cache write is a per-row scatter at ``pos[s]``.
+  - **Admission** = a single-row prefill written into the slot's cache rows
+    ``[0, len)`` (prompts sit at the START of their slot — no left-padding,
+    unlike the batch-synchronous path). Prompts are right-padded to a small
+    set of bucket lengths so admission compiles once per bucket, not once
+    per prompt length.
+  - Finished slots are freed by the host; their stale cache contents are
+    dead weight masked by ``pos`` until the next admission overwrites them.
+  - Inactive slots still execute the step (SPMD — no dynamic shapes); their
+    writes land at their frozen ``pos`` and are overwritten on admission.
+
+Greedy invariant (tested): every request's output through the server —
+admitted at arbitrary times, sharing steps with arbitrary co-tenants,
+through recycled slots — is token-for-token identical to a standalone
+``generate()`` on that prompt.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from .generation import (
+    _attend_cached,
+    _check_decoder,
+    _embed_token,
+    _ffn,
+    _logits,
+    _norm,
+    sample_token,
+)
+from .transformer import TransformerConfig, _linear
+
+
+# ---------------------------------------------------------------------------
+# Jitted device programs
+# ---------------------------------------------------------------------------
+
+
+def _block_decode_slots(bp: dict, cfg: TransformerConfig, x, layer_cache,
+                        pos):
+    """One-token block step with PER-SLOT cache positions.
+
+    ``x``: (S, E); ``pos``: (S,) int32 — each row writes its k/v at its own
+    cache slot and attends to its own prefix (arange(Lmax) <= pos[s]).
+    """
+    cd = cfg.cdtype()
+    s_idx = jnp.arange(x.shape[0])
+
+    def attn(x_in):
+        qkv = _linear(bp["attn"]["qkv_mat"], x_in, cd)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        n, e = k.shape
+        d = e // cfg.n_heads
+        kh = k.reshape(n, cfg.n_heads, d)
+        vh = v.reshape(n, cfg.n_heads, d)
+        cache = {
+            "k": layer_cache["k"].at[s_idx, :, pos].set(
+                kh.astype(layer_cache["k"].dtype)),
+            "v": layer_cache["v"].at[s_idx, :, pos].set(
+                vh.astype(layer_cache["v"].dtype)),
+        }
+        z = _attend_cached(q, cache["k"], cache["v"], cfg.n_heads,
+                           pos[:, None])
+        return _linear(bp["attn"]["output"], z, cd), cache
+
+    if cfg.pre_norm:
+        att, cache = attn(_norm(bp["attn_norm"], cfg, x))
+        out = x + att
+        out = out + _ffn(bp["ffn"], cfg, _norm(bp["ffn_norm"], cfg, out))
+    else:
+        att, cache = attn(x)
+        out = _norm(bp["attn_norm"], cfg, x + att)
+        out = _norm(bp["ffn_norm"], cfg, out + _ffn(bp["ffn"], cfg, out))
+    return out, cache
+
+
+def _make_step_fn(cfg: TransformerConfig, temperature, top_k, top_p):
+    """One decode tick for every slot. Inactive slots compute but their
+    ``pos`` does not advance (their writes overwrite the same dead cell)."""
+
+    def step(params, cache, token, pos, active, rng):
+        x = _embed_token(params, cfg, token, pos)
+        new_cache = []
+        for i, bp in enumerate(params["blocks"]):
+            x, lc = _block_decode_slots(bp, cfg, x, cache[i], pos)
+            new_cache.append(lc)
+        logits = _logits(params, cfg, x)
+        nxt = sample_token(logits, rng, temperature, top_k, top_p=top_p)
+        nxt = jnp.where(active, nxt, token)
+        pos = jnp.where(active, pos + 1, pos)
+        return new_cache, nxt, pos
+
+    return jax.jit(step, donate_argnums=(1,))
+
+
+def _make_admit_fn(cfg: TransformerConfig):
+    """Prefill ONE right-padded prompt row, install it into ``slot``, and
+    return the last REAL token's logits (to sample the first output from).
+
+    Right padding is harmless: causal attention means every real query row
+    only reads real keys, and the padded tail's cache cells sit beyond
+    ``pos`` forever (and are overwritten on the slot's next admission).
+    Compiles once per prompt-length bucket (shape-keyed jit cache).
+    """
+    from .generation import _block_prefill, _split_heads
+
+    def admit(params, cache, pos, slot, prompt, length):
+        pb = prompt.shape[0]
+        cd = cfg.cdtype()
+        emb = params["embedding"]
+        x = emb["token_emb"]["weight"].astype(cd)[prompt[None]]
+        if cfg.pos_emb:
+            x = x + emb["pos_emb"][:, :pb].astype(cd)
+        new_cache = []
+        for bp, lc in zip(params["blocks"], cache):
+            x, k, v = _block_prefill(bp, cfg, x)
+            kh = _split_heads(k.astype(cd), cfg.n_heads)  # (1, h, Pb, d)
+            vh = _split_heads(v.astype(cd), cfg.n_heads)
+            new_cache.append({
+                "k": jax.lax.dynamic_update_slice(
+                    lc["k"], kh.astype(lc["k"].dtype), (slot, 0, 0, 0)),
+                "v": jax.lax.dynamic_update_slice(
+                    lc["v"], vh.astype(lc["v"].dtype), (slot, 0, 0, 0)),
+            })
+        logits = _logits(params, cfg, x[0, length - 1])
+        pos = pos.at[slot].set(length)
+        return new_cache, pos, logits
+
+    return jax.jit(admit, donate_argnums=(1,))
+
+
+# ---------------------------------------------------------------------------
+# Host orchestration
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Request:
+    prompt: Any  # 1-D int32 array/list of token ids
+    max_new_tokens: int
+    tokens: list = field(default_factory=list)  # output, filled by the server
+    slot: int | None = None
+    done: bool = False
+
+
+class DecodeServer:
+    """Continuous-batching decode server over ``n_slots`` KV-cache rows.
+
+    ``serve(requests)`` runs the admit/step loop until every request is
+    complete; outputs land in ``request.tokens``. Greedy by default
+    (temperature=0) — the mode with an exact standalone-``generate()``
+    equivalence guarantee. Sampling modes reuse the same machinery with a
+    per-step rng (streams differ from batch-synchronous ``generate()`` by
+    construction — acceptance of a step depends on co-tenancy).
+    """
+
+    def __init__(self, params, cfg: TransformerConfig, *, n_slots: int,
+                 max_len: int | None = None, temperature: float = 0.0,
+                 top_k: int | None = None, top_p: float | None = None,
+                 eos_token_id: int | None = None, bucket: int = 64,
+                 rng=None):
+        _check_decoder(cfg)
+        self.params, self.cfg = params, cfg
+        self.n_slots = n_slots
+        self.max_len = max_len or cfg.seq_len
+        assert self.max_len <= cfg.seq_len
+        self.temperature, self.top_k, self.top_p = temperature, top_k, top_p
+        self.eos_token_id = eos_token_id
+        self.bucket = bucket
+        self.rng = rng if rng is not None else jax.random.key(0)
+
+        d = cfg.emb_dim // cfg.n_heads
+        cd = cfg.cdtype()
+        self.cache = [
+            {"k": jnp.zeros((n_slots, cfg.n_heads, self.max_len, d), cd),
+             "v": jnp.zeros((n_slots, cfg.n_heads, self.max_len, d), cd)}
+            for _ in range(cfg.n_layers)
+        ]
+        self.pos = jnp.zeros((n_slots,), jnp.int32)
+        self.token = jnp.zeros((n_slots,), jnp.int32)
+        self.active = [False] * n_slots
+        self._owner: list[Request | None] = [None] * n_slots
+        self.steps = 0  # decode ticks executed (telemetry)
+        self._step_fn = _make_step_fn(cfg, temperature, top_k, top_p)
+        self._admit_fn = _make_admit_fn(cfg)
+
+    # -- admission ---------------------------------------------------------
+
+    def _bucketed(self, prompt):
+        p = jnp.asarray(prompt, jnp.int32)
+        pb = max(self.bucket, -(-p.shape[0] // self.bucket) * self.bucket)
+        pb = min(pb, self.max_len)  # bucket never exceeds the cache length
+        assert p.shape[0] <= pb
+        return jnp.pad(p, (0, pb - p.shape[0])), p.shape[0]
+
+    def _sample(self, logits):
+        self.rng, r = jax.random.split(self.rng)
+        return sample_token(logits[None], r, self.temperature, self.top_k,
+                            top_p=self.top_p)[0]
+
+    def admit(self, req: Request, slot: int) -> None:
+        padded, length = self._bucketed(req.prompt)
+        assert length + req.max_new_tokens <= self.max_len, (
+            f"request needs {length + req.max_new_tokens} > max_len "
+            f"{self.max_len}")
+        self.cache, self.pos, logits = self._admit_fn(
+            self.params, self.cache, self.pos, jnp.int32(slot), padded,
+            jnp.int32(length))
+        first = self._sample(logits)
+        self.token = self.token.at[slot].set(first)
+        self.active[slot] = True
+        self._owner[slot] = req
+        req.slot = slot
+        req.tokens.append(int(first))
+        self._maybe_finish(slot, int(first))
+
+    def _maybe_finish(self, slot: int, tok: int) -> None:
+        req = self._owner[slot]
+        if req is None:
+            return
+        if (self.eos_token_id is not None and tok == self.eos_token_id) or \
+                len(req.tokens) >= req.max_new_tokens:
+            req.done = True
+            self.active[slot] = False
+            self._owner[slot] = None
+
+    # -- the loop ----------------------------------------------------------
+
+    def step(self) -> None:
+        """One decode tick for all active slots; harvests new tokens."""
+        active = jnp.asarray(self.active)
+        self.rng, r = jax.random.split(self.rng)
+        self.cache, self.token, self.pos = self._step_fn(
+            self.params, self.cache, self.token, self.pos, active, r)
+        self.steps += 1
+        toks = jax.device_get(self.token)
+        for slot, owner in enumerate(self._owner):
+            if owner is not None and self.active[slot]:
+                tok = int(toks[slot])
+                owner.tokens.append(tok)
+                self._maybe_finish(slot, tok)
+
+    def serve(self, requests: list[Request]) -> list[Request]:
+        """Admit-and-step until every request completes (FIFO admission)."""
+        queue = list(requests)
+        while queue or any(self.active):
+            while queue and not all(self.active):
+                slot = self.active.index(False)
+                self.admit(queue.pop(0), slot)
+            if any(self.active):
+                self.step()
+        return requests
