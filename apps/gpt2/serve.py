@@ -1,0 +1,125 @@
+"""GPT-2 continuous-batching server CLI.
+
+Batch-offline serving over a request file: a fixed pool of KV-cache slots,
+requests admitted the moment a slot frees (vitef_tpu.models.serving) — the
+production decode pattern for mixed prompt/output lengths, where
+batch-synchronous ``generate()`` would stall every sequence on the wave's
+longest request. (The reference has no serving stack at all; see
+apps/gpt2/sample.py for the single-request CLI.)
+
+    python -m apps.gpt2.serve run --requests requests.jsonl --n_slots 8
+    python -m apps.gpt2.serve run --demo 16 --n_slots 4   # synthetic stream
+
+``requests.jsonl``: one request per line —
+    {"token_ids": [464, 3280, ...], "max_new_tokens": 32}
+(or {"prompt": "..."} when the GPT-2 tokenizer cache is available). Results
+stream to stdout as jsonl: {"id": i, "tokens": [...], "text": "..."?}.
+
+Zero-egress note: text prompts/decodes need the HF tokenizer cache and real
+continuations need cached pretrained weights; --demo with token ids runs
+fully offline (random weights).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+
+import jax
+import numpy as np
+
+from vitef_tpu.models import build_model
+from vitef_tpu.models.serving import DecodeServer, Request
+from vitef_tpu.utils.cli import make_cli
+
+logger = logging.getLogger(__name__)
+
+
+def _load_requests(path: str | None, demo: int, tokenizer, vocab: int,
+                   max_new_tokens: int):
+    if path is not None:
+        reqs = []
+        with open(path) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                rec = json.loads(line)
+                if "token_ids" in rec:
+                    ids = [int(t) for t in rec["token_ids"]]
+                elif "prompt" in rec:
+                    if tokenizer is None:
+                        raise SystemExit(
+                            "text prompts need the GPT-2 tokenizer cache; "
+                            "use token_ids")
+                    ids = tokenizer.encode(rec["prompt"])
+                else:
+                    raise SystemExit(f"bad request line: {line!r}")
+                reqs.append(Request(
+                    prompt=ids,
+                    max_new_tokens=int(rec.get("max_new_tokens",
+                                               max_new_tokens))))
+        return reqs
+    rng = np.random.default_rng(0)
+    return [
+        Request(prompt=rng.integers(0, vocab,
+                                    size=(int(rng.integers(8, 64)),)).tolist(),
+                max_new_tokens=int(rng.integers(8, max_new_tokens + 1)))
+        for _ in range(demo)
+    ]
+
+
+def run(requests: str | None = None, demo: int = 0, model_name: str = "base",
+        n_slots: int = 8, max_len: int = 512, max_new_tokens: int = 64,
+        temperature: float = 0.0, top_k: int | None = None,
+        top_p: float | None = None, eos: bool = True, bucket: int = 64,
+        pretrained: bool = True, seed: int = 0,
+        compute_dtype: str = "bfloat16"):
+    """Serve a request file (or --demo N synthetic requests) and print jsonl
+    results in input order as requests complete."""
+    if (requests is None) == (demo == 0):
+        raise SystemExit("pass exactly one of --requests or --demo N")
+    model = build_model(dict(
+        implementation="gpt2", model_name=model_name, pretrained=pretrained,
+        compute_dtype=compute_dtype), key=jax.random.key(seed))
+
+    tokenizer = None
+    try:
+        from vitef_tpu.models.gpt2 import get_tokenizer
+
+        tokenizer = get_tokenizer()
+    except Exception:  # zero-egress: token-id mode only
+        pass
+
+    reqs = _load_requests(requests, demo, tokenizer, model.config.vocab_size,
+                          max_new_tokens)
+    eos_id = 50256 if eos and model.config.vocab_size > 50256 else None
+    srv = DecodeServer(
+        model.params, model.config, n_slots=n_slots, max_len=max_len,
+        temperature=temperature, top_k=top_k, top_p=top_p,
+        eos_token_id=eos_id, bucket=bucket, rng=jax.random.key(seed))
+
+    import time
+
+    t0 = time.perf_counter()
+    srv.serve(reqs)
+    dt = time.perf_counter() - t0
+    total = 0
+    for i, req in enumerate(reqs):
+        rec = {"id": i, "tokens": req.tokens}
+        if tokenizer is not None:
+            rec["text"] = tokenizer.decode(req.tokens)
+        total += len(req.tokens)
+        print(json.dumps(rec))
+    logger.info("served %d requests / %d tokens in %.1fs (%.0f tok/s, "
+                "%d ticks x %d slots)", len(reqs), total, dt, total / dt,
+                srv.steps, n_slots)
+
+
+def main() -> None:
+    """``python -m apps.gpt2.serve run --requests file.jsonl [--flags]``."""
+    logging.basicConfig(level=logging.INFO, format="%(message)s")
+    make_cli({"run": run})
+
+
+if __name__ == "__main__":
+    main()

@@ -126,3 +126,45 @@ def test_gpt2_sample_cli_speculative_refuses_explicit_topk(monkeypatch):
 
     with pytest.raises(SystemExit, match="top_k"):
         main()
+
+
+def test_gpt2_serve_cli(monkeypatch, capsys, tmp_path):
+    """apps.gpt2.serve: continuous-batching server CLI over a jsonl request
+    file (zero-egress token-id mode, random weights, 2 slots < 3 requests
+    forces slot recycling)."""
+    import json
+    import sys
+
+    reqs = tmp_path / "requests.jsonl"
+    reqs.write_text("\n".join(json.dumps(r) for r in [
+        {"token_ids": [3, 1, 4, 1, 5], "max_new_tokens": 4},
+        {"token_ids": [9, 2, 6], "max_new_tokens": 3},
+        {"token_ids": [5, 3], "max_new_tokens": 5},
+    ]))
+    monkeypatch.setattr(sys, "argv", [
+        "serve", "run", "--requests", str(reqs), "--n_slots", "2",
+        "--max_len", "64", "--bucket", "8", "--temperature", "0.0",
+        "--pretrained", "False", "--eos", "False",
+        "--compute_dtype", "float32"])
+    from apps.gpt2.serve import main
+
+    main()
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()
+             if l.strip().startswith("{")]
+    assert [r["id"] for r in lines] == [0, 1, 2]
+    assert [len(r["tokens"]) for r in lines] == [4, 3, 5]
+
+    # greedy parity with standalone generate() for request 0
+    import jax
+    import jax.numpy as jnp
+
+    from vitef_tpu.models import build_model
+    from vitef_tpu.models.generation import generate
+
+    model = build_model(dict(implementation="gpt2", model_name="base",
+                             pretrained=False, compute_dtype="float32"),
+                        key=jax.random.key(0))
+    ref = generate(model.params, model.config,
+                   jnp.asarray([[3, 1, 4, 1, 5]], jnp.int32), 4,
+                   temperature=0.0)
+    assert lines[0]["tokens"] == [int(t) for t in np.asarray(ref[0])]

@@ -1,0 +1,135 @@
+"""Continuous batching vs static wave batching on the real TPU.
+
+Workload: a seeded stream of requests with mixed prompt/output lengths —
+the regime continuous batching exists for (static waves stall every slot on
+the wave's longest request). Two comparators over the same requests:
+
+  - **waves**: batch-synchronous ``generate()`` in groups of ``n_slots``
+    (prompts left-padded to the wave max, every sequence decodes the wave's
+    max max_new ticks, outputs truncated per request) — the reference serving
+    pattern our batch-synchronous path supports.
+  - **continuous**: ``DecodeServer`` with ``n_slots`` cache rows.
+
+Reports wall-clock tok/s and the hardware-independent slot-tick utilisation
+(useful tokens / (ticks * slots)). NB over the axon tunnel the continuous
+server pays ~2 host round-trips per tick (step dispatch + token harvest for
+EOS/eviction), a fixed ~5 ms/tick latency tax that a co-located host
+amortises — utilisation is the portable number.
+
+Run from the repo root: python tools/profile_server.py [n_slots] [n_requests]
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vitef_tpu.models import build_model
+from vitef_tpu.models.generation import generate
+from vitef_tpu.models.serving import DecodeServer, Request
+
+N_SLOTS = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+N_REQ = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+WINDOW = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+MAX_LEN = 256
+
+
+def make_requests(seed=0):
+    rng = np.random.default_rng(seed)
+    reqs = []
+    for _ in range(N_REQ):
+        plen = int(rng.integers(16, 121))
+        mnew = int(rng.integers(16, 97))
+        reqs.append(Request(
+            prompt=rng.integers(0, 50257, size=(plen,)).tolist(),
+            max_new_tokens=mnew))
+    return reqs
+
+
+_wave_cache = {}
+
+
+def _wave_fn(cfg, mmax):
+    """Jitted wave generate, cached per (bucketed) max_new (prompt shapes key
+    the jit cache internally)."""
+    if mmax not in _wave_cache:
+        _wave_cache[mmax] = jax.jit(
+            lambda pm, pr, mk: generate(pm, cfg, pr, mmax, temperature=0.0,
+                                        prompt_mask=mk))
+    return _wave_cache[mmax]
+
+
+def run_waves(params, cfg, requests):
+    """Static batching: pad each wave to its (bucketed) max prompt length,
+    decode the wave's (bucketed) max max_new ticks, truncate per request.
+    Buckets of 64/32 bound the jit cache exactly like the server's admission
+    buckets."""
+    t0 = time.perf_counter()
+    ticks = 0
+    outs = []
+    for i in range(0, len(requests), N_SLOTS):
+        wave = requests[i:i + N_SLOTS]
+        pmax = -(-max(len(r.prompt) for r in wave) // 64) * 64
+        mmax = -(-max(r.max_new_tokens for r in wave) // 32) * 32
+        prompts = np.zeros((N_SLOTS, pmax), np.int32)
+        mask = np.zeros((N_SLOTS, pmax), bool)
+        for j, r in enumerate(wave):  # left-pad (serving convention)
+            prompts[j, pmax - len(r.prompt):] = r.prompt
+            mask[j, pmax - len(r.prompt):] = True
+        mask[len(wave):, -1] = True  # ragged rows need >= 1 real token
+        toks = _wave_fn(cfg, mmax)(params, jnp.asarray(prompts),
+                                   jnp.asarray(mask))
+        toks = np.asarray(toks)  # value fetch = tunnel-safe sync
+        ticks += mmax
+        for j, r in enumerate(wave):
+            outs.append(toks[j, :r.max_new_tokens].tolist())
+    return outs, time.perf_counter() - t0, ticks
+
+
+_srv = None
+
+
+def run_continuous(params, cfg, requests):
+    global _srv
+    if _srv is None:
+        _srv = DecodeServer(params, cfg, n_slots=N_SLOTS, max_len=MAX_LEN,
+                            bucket=64, harvest_every=WINDOW)
+    _srv.reset()
+    t0 = time.perf_counter()
+    _srv.serve(requests)
+    return [r.tokens for r in requests], time.perf_counter() - t0, _srv.steps
+
+
+def main():
+    assert jax.default_backend() == "tpu", jax.default_backend()
+    model = build_model(dict(implementation="gpt2", model_name="base",
+                             pretrained=False, compute_dtype="bfloat16"),
+                        key=jax.random.key(0))
+    params, cfg = model.params, model.config
+
+    # Warm every shape bucket both paths will hit: run the full workload
+    # once untimed (first compile over the tunnel is 20-40s per shape), then
+    # time a second identical run against the hot jit caches.
+    run_waves(params, cfg, make_requests())
+    run_continuous(params, cfg, make_requests())
+
+    reqs = make_requests()
+    useful = sum(r.max_new_tokens for r in reqs)
+    w_out, w_dt, w_ticks = run_waves(params, cfg, make_requests())
+    c_out, c_dt, c_ticks = run_continuous(params, cfg, reqs)
+    match = all(a == b[:len(a)] and len(a) == len(b)
+                for a, b in zip(c_out, w_out))
+    print(f"requests={N_REQ} slots={N_SLOTS} window={WINDOW} "
+          f"useful_tokens={useful} outputs-equal={match}")
+    print(f"waves:      {w_dt:6.1f}s  {useful / w_dt:8.0f} tok/s  "
+          f"ticks={w_ticks:4d}  util={useful / (w_ticks * N_SLOTS):.2f}")
+    print(f"continuous: {c_dt:6.1f}s  {useful / c_dt:8.0f} tok/s  "
+          f"ticks={c_ticks:4d}  util={useful / (c_ticks * N_SLOTS):.2f}")
+
+
+if __name__ == "__main__":
+    main()

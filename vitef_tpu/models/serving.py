@@ -95,11 +95,20 @@ def _block_decode_slots(bp: dict, cfg: TransformerConfig, x, layer_cache,
     return out, cache
 
 
-def _make_step_fn(cfg: TransformerConfig, temperature, top_k, top_p):
-    """One decode tick for every slot. Inactive slots compute but their
-    ``pos`` does not advance (their writes overwrite the same dead cell)."""
+def _make_window_fn(cfg: TransformerConfig, temperature, top_k, top_p,
+                    eos_id, window: int):
+    """``window`` decode ticks for every slot in ONE device program.
 
-    def step(params, cache, token, pos, active, rng):
+    Per-tick host syncs are the latency tax of a host-driven decode loop
+    (over a remote-dispatch link each tick costs ~2 RTTs; measured 28x
+    slower than wave batching at window=1 despite doing 29% fewer ticks).
+    The window scan keeps budget (``pos < limit``) and EOS enforcement
+    ON-DEVICE so a slot never decodes past its request mid-window; the host
+    harvests ``window`` token vectors per round-trip and admits into freed
+    slots between windows. Inactive slots compute but their ``pos`` does not
+    advance (their writes overwrite the same dead cell)."""
+
+    def tick(params, cache, token, pos, act, rng):
         x = _embed_token(params, cfg, token, pos)
         new_cache = []
         for i, bp in enumerate(params["blocks"]):
@@ -107,11 +116,26 @@ def _make_step_fn(cfg: TransformerConfig, temperature, top_k, top_p):
             new_cache.append(lc)
         logits = _logits(params, cfg, x)
         nxt = sample_token(logits, rng, temperature, top_k, top_p=top_p)
-        nxt = jnp.where(active, nxt, token)
-        pos = jnp.where(active, pos + 1, pos)
+        nxt = jnp.where(act, nxt, token)
+        pos = jnp.where(act, pos + 1, pos)
         return new_cache, nxt, pos
 
-    return jax.jit(step, donate_argnums=(1,))
+    def run_window(params, cache, token, pos, active, limit, rng):
+        rngs = jax.random.split(rng, window)
+
+        def body(carry, r):
+            cache, token, pos, act = carry
+            act_t = jnp.logical_and(act, pos < limit)  # per-slot budget
+            cache, token, pos = tick(params, cache, token, pos, act_t, r)
+            if eos_id is not None:  # freeze a slot after it emits EOS
+                act = jnp.logical_and(act, token != eos_id)
+            return (cache, token, pos, act), token
+
+        (cache, token, pos, _), toks = jax.lax.scan(
+            body, (cache, token, pos, active), rngs)
+        return cache, token, pos, toks  # toks: (window, S)
+
+    return jax.jit(run_window, donate_argnums=(1,))
 
 
 def _make_admit_fn(cfg: TransformerConfig):
@@ -179,7 +203,7 @@ class DecodeServer:
                  max_len: int | None = None, temperature: float = 0.0,
                  top_k: int | None = None, top_p: float | None = None,
                  eos_token_id: int | None = None, bucket: int = 64,
-                 rng=None):
+                 harvest_every: int = 8, rng=None):
         _check_decoder(cfg)
         self.params, self.cfg = params, cfg
         self.n_slots = n_slots
@@ -199,11 +223,28 @@ class DecodeServer:
         ]
         self.pos = jnp.zeros((n_slots,), jnp.int32)
         self.token = jnp.zeros((n_slots,), jnp.int32)
+        self.limit = jnp.zeros((n_slots,), jnp.int32)
         self.active = [False] * n_slots
         self._owner: list[Request | None] = [None] * n_slots
         self.steps = 0  # decode ticks executed (telemetry)
-        self._step_fn = _make_step_fn(cfg, temperature, top_k, top_p)
+        self.window = max(1, harvest_every)
+        self._window_fn = _make_window_fn(cfg, temperature, top_k, top_p,
+                                          eos_token_id, self.window)
         self._admit_fn = _make_admit_fn(cfg)
+
+    def reset(self, rng=None) -> None:
+        """Clear all slots (compiled step/admit closures stay hot).
+
+        The cache itself needs no zeroing: admission overwrites ``[0, len)``
+        and ``pos`` masks everything beyond."""
+        self.pos = jnp.zeros((self.n_slots,), jnp.int32)
+        self.token = jnp.zeros((self.n_slots,), jnp.int32)
+        self.limit = jnp.zeros((self.n_slots,), jnp.int32)
+        self.active = [False] * self.n_slots
+        self._owner = [None] * self.n_slots
+        self.steps = 0
+        if rng is not None:
+            self.rng = rng
 
     # -- admission ---------------------------------------------------------
 
@@ -229,6 +270,9 @@ class DecodeServer:
             jnp.int32(length))
         first = self._sample(logits)
         self.token = self.token.at[slot].set(first)
+        # device-side budget: the remaining max_new - 1 ticks end when the
+        # write position reaches length + max_new - 1
+        self.limit = self.limit.at[slot].set(length + req.max_new_tokens - 1)
         self.active[slot] = True
         self._owner[slot] = req
         req.slot = slot
@@ -248,18 +292,23 @@ class DecodeServer:
     # -- the loop ----------------------------------------------------------
 
     def step(self) -> None:
-        """One decode tick for all active slots; harvests new tokens."""
+        """One WINDOW of decode ticks for all active slots; harvests the
+        (window, n_slots) token block in one device round-trip. Budget and
+        EOS freezes happen on-device mid-window; the host truncates each
+        owner's stream exactly as the per-tick protocol would."""
         active = jnp.asarray(self.active)
         self.rng, r = jax.random.split(self.rng)
-        self.cache, self.token, self.pos = self._step_fn(
-            self.params, self.cache, self.token, self.pos, active, r)
-        self.steps += 1
-        toks = jax.device_get(self.token)
-        for slot, owner in enumerate(self._owner):
-            if owner is not None and self.active[slot]:
-                tok = int(toks[slot])
-                owner.tokens.append(tok)
-                self._maybe_finish(slot, tok)
+        self.cache, self.token, self.pos, toks = self._window_fn(
+            self.params, self.cache, self.token, self.pos, active,
+            self.limit, r)
+        self.steps += self.window
+        toks = jax.device_get(toks)  # (window, S)
+        for t in range(self.window):
+            for slot, owner in enumerate(self._owner):
+                if owner is not None and self.active[slot]:
+                    tok = int(toks[t, slot])
+                    owner.tokens.append(tok)
+                    self._maybe_finish(slot, tok)
 
     def serve(self, requests: list[Request]) -> list[Request]:
         """Admit-and-step until every request completes (FIFO admission)."""
