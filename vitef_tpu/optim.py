@@ -189,11 +189,15 @@ def trainable_mask(params, components: list[str]) -> Any:
             return False
         if name.startswith("blocks."):
             # Path-segment matching within the block: 'blocks.<i>.<rest>'
-            # where <rest> must START WITH the target as whole dotted
-            # segments — substring matching would silently freeze the wrong
-            # leaves one rename away (e.g. a future 'cross_attn_norm' would
-            # match 'attn_norm' as a substring).
-            rest = name.split(".", 2)[2] if name.count(".") >= 2 else ""
+            # (per-block list layout) or 'blocks.<rest>' (stage-stacked
+            # pipeline layout, parallel/pipeline.py — leaves carry the layer
+            # axis instead of a path index). <rest> must START WITH the
+            # target as whole dotted segments — substring matching would
+            # silently freeze the wrong leaves one rename away (e.g. a
+            # future 'cross_attn_norm' would match 'attn_norm').
+            parts = name.split(".")
+            skip = 2 if len(parts) > 1 and parts[1].isdigit() else 1
+            rest = ".".join(parts[skip:])
             if any(rest == t or rest.startswith(t + ".") for t in block_targets):
                 return False
         return True

@@ -30,6 +30,15 @@ Design (idiomatic JAX, not a port of any torch pipeline engine):
     ``grad_acc_steps=n_micro`` step (mean over microbatches) up to float
     reassociation — asserted in tests/test_pipeline.py.
 
+Cost model: the SPMD-uniform program runs the embed and head on EVERY stage
+each tick and selects the one real result (XLA cannot DCE through the
+device-varying ``where``). The waste is bounded by those two components'
+share of the model: ~3% per extra stage for ViT (patchify + tiny classifier
+head), but ~15% for GPT2's tied vocab head — a production GPT2 pipeline
+would want a dedicated head stage (or head-on-last-stage via an uneven
+program). The blocks — where the FLOPs are — run exactly once per
+microbatch per stage.
+
 NaN hygiene: bubble ticks compute on placeholder data; every masked select
 (`stage-0 input`, `last-stage logits`) uses finite fill values so the zero
 cotangents of unselected branches never multiply a NaN (the classic
@@ -143,6 +152,7 @@ def make_pipeline_train_step(
     grad_clip: float | None = None,
     schedule: Callable | None = None,
     base_lr: float = 0.0,
+    trainable: Any = None,
     remat: bool = False,
     donate: bool = True,
 ):
@@ -158,7 +168,10 @@ def make_pipeline_train_step(
     the stage-local block gradients inside shard_map. Pass ``grad_clip``
     instead — the step computes the TRUE global norm (stage-local block
     square-sums ``psum``'d over 'pp' + the replicated embedding/head terms)
-    and scales before ``tx.update``.
+    and scales before ``tx.update``. ``trainable`` (a bool mask over the
+    STACKED params, optim.trainable_mask) zeroes frozen grads BEFORE the
+    norm, matching the reference clip-over-requires_grad semantics
+    (train.py:278) exactly like the optax set_to_zero→clip chain.
 
     Constraints: ``n_layers % pp == 0``; norm must be layer/rms (batch-norm
     running stats don't commute with the stage schedule); dropout requires an
@@ -268,6 +281,9 @@ def make_pipeline_train_step(
         if has_dp:
             loss = jax.lax.pmean(loss, "dp")
             grads = jax.lax.pmean(grads, "dp")
+        if trainable is not None:
+            grads = jax.tree.map(
+                lambda g, m: g if m else jnp.zeros_like(g), grads, trainable)
 
         # TRUE global grad norm: stage-local block square-sums psum'd over
         # 'pp', replicated embedding/head counted once.
