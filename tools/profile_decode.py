@@ -39,6 +39,10 @@ def main():
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--prompt", type=int, default=128)
     ap.add_argument("--new", type=int, default=128)
+    ap.add_argument("--weights", default="bf16", choices=["bf16", "int8"],
+                    help="int8 = weight-only quantization (models/quantize.py)"
+                         " — the lever for low-batch, weight-bandwidth-bound"
+                         " decode")
     args = ap.parse_args()
 
     m = build_model(dict(
@@ -51,15 +55,20 @@ def main():
         0, 50257, size=(args.batch, args.prompt))
     prompt = jax.numpy.asarray(prompt, jax.numpy.int32)
 
+    params = m.params
+    if args.weights == "int8":
+        params = jax.jit(m.quantize_int8)(params)
+        jax.block_until_ready(params)
+
     modes = list(MODES) if args.mode == "all" else [args.mode]
     for name in modes:
         kw = MODES[name]
-        out = m.generate(m.params, prompt, args.new, rng=jax.random.key(1), **kw)
+        out = m.generate(params, prompt, args.new, rng=jax.random.key(1), **kw)
         np.asarray(out)  # warm + sync
         if args.trace:
             jax.profiler.start_trace(args.trace)
         t0 = time.perf_counter()
-        out = m.generate(m.params, prompt, args.new, rng=jax.random.key(2), **kw)
+        out = m.generate(params, prompt, args.new, rng=jax.random.key(2), **kw)
         np.asarray(out)
         dt = time.perf_counter() - t0
         if args.trace:

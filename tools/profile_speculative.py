@@ -53,6 +53,14 @@ def main():
         0, 2048 if "--trained" in sys.argv else 50257,
         size=(1, prompt_len)), jnp.int32)
 
+    if "--int8" in sys.argv:
+        # weight-only int8 (models/quantize.py): batch-1 decode streams the
+        # full parameter set per token — half the bytes, straight latency win
+        target.params = jax.jit(target.quantize_int8)(target.params)
+        draft.params = jax.jit(draft.quantize_int8)(draft.params)
+        jax.block_until_ready((target.params, draft.params))
+        print("int8 weight-only quantized target+draft")
+
     out = target.generate(target.params, prompt, new, temperature=0.0)
     np.asarray(out)
     t0 = time.perf_counter()

@@ -37,6 +37,7 @@ import jax.numpy as jnp
 from ..ops.attention import fused_mha_packed, packed_mha_supported
 from ..ops.common import best_precision, resolve_impl
 from ..ops.topk import top_k as fast_top_k
+from .quantize import embed_rows
 from .transformer import TransformerConfig, _linear, _norm, get_activation
 
 _NEG_INF = -1e30
@@ -163,11 +164,9 @@ def _attention_prefill(params: dict, cfg: TransformerConfig, x, key_mask=None):
     n, l, e = x.shape
     d = e // cfg.n_heads
     qkv_p, out_p = params["qkv_mat"], params["output"]
-    w = qkv_p["weight"].astype(cd)
-    qkv = jnp.einsum("nle,ef->nlf", x.astype(cd), w,
-                     precision=best_precision(x, w), preferred_element_type=cd)
-    if "bias" in qkv_p:
-        qkv = qkv + qkv_p["bias"].astype(cd)
+    # same einsum as transformer._linear (int8 weight-only quantization of
+    # the projection dispatches there too, models/quantize.py)
+    qkv = _linear(qkv_p, x, cd)
     q, k, v = jnp.split(qkv, 3, axis=-1)
     # Packed fused MHA kernel for the bf16 prefill (the K/V returned for the
     # cache are slices of qkv either way; qkv is already biased, so no
@@ -268,12 +267,26 @@ def _block_decode(bp: dict, cfg: TransformerConfig, x, layer_cache: dict, pos,
 
 
 def _logits(params: dict, cfg: TransformerConfig, x):
-    """seq2seq head on (..., E) hidden states -> (..., V) fp32 logits."""
+    """seq2seq head on (..., E) hidden states -> (..., V) fp32 logits.
+
+    int8-quantized token embeddings (models/quantize.py) keep the tied head
+    reading int8 from HBM — the (V, E) table is the single largest weight of
+    the decode step — with the per-vocab-row scale applied to the (N, V) f32
+    logits after the contraction.
+    """
     cd = cfg.cdtype()
     p = params["output"]["output_layer"]
     out = _norm(p["norm"], cfg, x)
     if cfg.weight_tying:
-        w = params["embedding"]["token_emb"]["weight"].astype(cd)
+        tok = params["embedding"]["token_emb"]
+        if tok["weight"].dtype == jnp.int8:
+            outc = out.astype(cd)
+            raw = jnp.einsum("...e,ve->...v", outc,
+                             tok["weight"].astype(cd),
+                             precision=best_precision(outc),
+                             preferred_element_type=jnp.float32)
+            return raw * tok["scale"]
+        w = tok["weight"].astype(cd)
         return jnp.einsum("...e,ve->...v", out.astype(cd), w,
                           precision=best_precision(w),
                           preferred_element_type=jnp.float32).astype(jnp.float32)
@@ -284,7 +297,7 @@ def _embed_token(params: dict, cfg: TransformerConfig, token, positions):
     """(N,) int tokens at per-sample logical ``positions`` -> (N, E)."""
     cd = cfg.cdtype()
     emb = params["embedding"]
-    x = emb["token_emb"]["weight"].astype(cd)[token]
+    x = embed_rows(emb["token_emb"], token, cd)
     if cfg.pos_emb:
         x = x + emb["pos_emb"][0][positions].astype(cd)
     return x
@@ -306,7 +319,7 @@ def prefill(params: dict, cfg: TransformerConfig, prompt, max_len: int,
     n, p = prompt.shape
     cd = cfg.cdtype()
     emb = params["embedding"]
-    x = emb["token_emb"]["weight"].astype(cd)[prompt]
+    x = embed_rows(emb["token_emb"], prompt, cd)
     if cfg.pos_emb:
         if prompt_mask is None:
             x = x + emb["pos_emb"][:, :p].astype(cd)

@@ -118,6 +118,19 @@ class Model:
                   draft_params=draft.params if draft_params is None
                   else draft_params)
 
+    def quantize_int8(self, params=None):
+        """Weight-only int8 params for the decode/serving path.
+
+        Returns a params tree consumed transparently by :meth:`generate`,
+        :meth:`generate_speculative` and ``DecodeServer`` — int8 weights
+        stream from HBM at half the bytes of bf16 (the batch-1 decode
+        bound), with per-out-channel power-of-two f32 scales applied outside
+        the contractions (models/quantize.py). Inference-only."""
+        from .quantize import quantize_decode_params
+
+        return quantize_decode_params(self.params if params is None
+                                      else params)
+
     def get_decomposition(self, params, x):
         return T.get_decomposition(params, self.config, x)
 

@@ -40,6 +40,7 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
+from .quantize import embed_rows
 from .generation import (
     _attend_cached,
     _check_decoder,
@@ -153,7 +154,7 @@ def _make_admit_fn(cfg: TransformerConfig):
         pb = prompt.shape[0]
         cd = cfg.cdtype()
         emb = params["embedding"]
-        x = emb["token_emb"]["weight"].astype(cd)[prompt[None]]
+        x = embed_rows(emb["token_emb"], prompt[None], cd)
         if cfg.pos_emb:
             x = x + emb["pos_emb"][:, :pb].astype(cd)
         new_cache = []

@@ -38,6 +38,7 @@ import jax.numpy as jnp
 import math
 
 from ..ops.common import best_precision
+from .quantize import embed_rows
 from .generation import (
     _block_decode,
     _check_decoder,
@@ -113,7 +114,7 @@ def _forward_window(params, cfg: TransformerConfig, tokens, cache, pos):
     Returns ((1, W, V) fp32 logits, updated cache)."""
     positions = pos + jnp.arange(tokens.shape[1])
     emb = params["embedding"]
-    x = emb["token_emb"]["weight"].astype(cfg.cdtype())[tokens]
+    x = embed_rows(emb["token_emb"], tokens, cfg.cdtype())
     if cfg.pos_emb:
         x = x + emb["pos_emb"][0][positions].astype(cfg.cdtype())[None]
     new_cache = []

@@ -308,13 +308,29 @@ def _linear(p: dict, x, compute_dtype):
     HBM traffic and (b) push fp32 cotangents through every backward matmul,
     which the v5e trace showed as the dominant convert+reduce cost. fp32 path
     (parity/analysis): true-fp32 matmul via best_precision.
+
+    int8 weights (models/quantize.py, inference-only): the weight streams
+    from HBM as int8 — half the bytes of the weight-bandwidth-bound decode
+    step — with the per-out-channel f32 scale applied to the (small) output
+    AFTER the contraction; dequantized weights never materialise. The
+    int8→compute-dtype convert fuses into the einsum (values ≤ 127 are
+    bf16-exact), accumulation is f32, and power-of-two scales make the scale
+    multiply commute bit-exactly with the matmul sums.
     """
-    w = p["weight"].astype(compute_dtype)
     xc = x.astype(compute_dtype)
-    out = jnp.einsum(
-        "...i,ij->...j", xc, w,
-        precision=best_precision(xc, w), preferred_element_type=compute_dtype,
-    )
+    if p["weight"].dtype == jnp.int8:
+        w = p["weight"].astype(compute_dtype)
+        out = jnp.einsum("...i,ij->...j", xc, w,
+                         precision=best_precision(xc),
+                         preferred_element_type=jnp.float32)
+        out = (out * p["scale"]).astype(compute_dtype)
+    else:
+        w = p["weight"].astype(compute_dtype)
+        out = jnp.einsum(
+            "...i,ij->...j", xc, w,
+            precision=best_precision(xc, w),
+            preferred_element_type=compute_dtype,
+        )
     if "bias" in p:
         out = out + p["bias"].astype(compute_dtype)
     return out
