@@ -154,6 +154,34 @@ def test_server_generate_parity_with_int8_weights():
                                       np.asarray(want[0, :len(r.tokens)]))
 
 
+def test_quantized_params_checkpoint_roundtrip(tmp_path):
+    """Deployment story: a quantized tree persists through the checkpoint
+    flatten/npz/unflatten helpers with dtypes (int8 weights, f32 scales)
+    intact, loading into a fresh quantized template (as a serving process
+    would: build model -> quantize -> fill from disk)."""
+    from vitef_tpu.monitor.checkpoint import (_flatten_with_paths,
+                                              _unflatten_like)
+
+    model = tiny_decoder()
+    qparams = quantize_decode_params(model.params)
+    np.savez(tmp_path / "quant.npz", **_flatten_with_paths(qparams))
+
+    template = quantize_decode_params(tiny_decoder(seed=99).params)
+    with np.load(tmp_path / "quant.npz") as z:
+        loaded = _unflatten_like(template, {k: z[k] for k in z.files})
+    q0 = qparams["blocks"][0]["ffn"]["fc1"]
+    l0 = loaded["blocks"][0]["ffn"]["fc1"]
+    assert np.asarray(l0["weight"]).dtype == np.int8
+    np.testing.assert_array_equal(np.asarray(l0["weight"]),
+                                  np.asarray(q0["weight"]))
+    prompt = jnp.asarray(
+        np.random.default_rng(21).integers(0, 50, size=(2, 5)), jnp.int32)
+    want = generate(qparams, model.config, prompt, 6, temperature=0.0)
+    got = generate(jax.device_put(loaded), model.config, prompt, 6,
+                   temperature=0.0)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_speculative_greedy_parity_with_int8_weights():
     """Speculative greedy with a quantized TARGET equals the quantized
     target's own greedy decode (draft can stay full precision — it only

@@ -106,6 +106,65 @@ def test_eos_frees_slot_early(model):
         assert req.tokens == expect
 
 
+def test_prefix_cache_matches_generate_on_concat(model):
+    """Prefix caching: a request admitted with a registered shared prefix
+    produces token-for-token the output of a standalone generate() on
+    [prefix ++ prompt] — the prefix K/V is copied, never recomputed."""
+    params, cfg = model
+    rng = np.random.default_rng(5)
+    prefix = rng.integers(0, cfg.vocab_size, size=(9,)).tolist()
+    srv = DecodeServer(params, cfg, n_slots=2, bucket=8)
+    h = srv.register_prefix(prefix)
+    reqs = []
+    for _ in range(5):
+        plen = int(rng.integers(2, 11))
+        prompt = rng.integers(0, cfg.vocab_size, size=(plen,)).tolist()
+        reqs.append(Request(prompt=prompt, prefix=h,
+                            max_new_tokens=int(rng.integers(3, 8))))
+    srv.serve(reqs)
+    for req in reqs:
+        assert req.done
+        assert req.tokens == ref_greedy(params, cfg, prefix + req.prompt,
+                                        req.max_new_tokens), req.prompt
+    assert srv.prefill_tokens_saved == len(prefix) * len(reqs)
+
+
+def test_prefix_and_plain_requests_cotenant(model):
+    """Prefix-cached and plain requests share the slot pool and steps;
+    two distinct prefixes coexist; recycled slots lose no state."""
+    params, cfg = model
+    rng = np.random.default_rng(6)
+    pre_a = rng.integers(0, cfg.vocab_size, size=(6,)).tolist()
+    pre_b = rng.integers(0, cfg.vocab_size, size=(12,)).tolist()
+    srv = DecodeServer(params, cfg, n_slots=2, bucket=8)
+    ha, hb = srv.register_prefix(pre_a), srv.register_prefix(pre_b)
+    reqs, expect = [], []
+    for i in range(6):
+        prompt = rng.integers(0, cfg.vocab_size,
+                              size=(int(rng.integers(2, 9)),)).tolist()
+        pick = (None, ha, hb)[i % 3]
+        full = prompt if pick is None else \
+            (pre_a if pick == ha else pre_b) + prompt
+        reqs.append(Request(prompt=prompt, prefix=pick, max_new_tokens=5))
+        expect.append(ref_greedy(params, cfg, full, 5))
+    srv.serve(reqs)
+    for req, want in zip(reqs, expect):
+        assert req.done and req.tokens == want
+
+
+def test_prefix_cache_postnorm(model):
+    """The context-attention admission handles post-norm blocks too."""
+    cfg = decoder_cfg(pre_norm=False)
+    params = init_transformer(jax.random.key(2), cfg)
+    rng = np.random.default_rng(7)
+    prefix = rng.integers(0, cfg.vocab_size, size=(5,)).tolist()
+    prompt = rng.integers(0, cfg.vocab_size, size=(4,)).tolist()
+    srv = DecodeServer(params, cfg, n_slots=1, bucket=4)
+    h = srv.register_prefix(prefix)
+    (req,) = srv.serve([Request(prompt=prompt, prefix=h, max_new_tokens=6)])
+    assert req.tokens == ref_greedy(params, cfg, prefix + prompt, 6)
+
+
 def test_sampled_mode_runs_and_respects_vocab(model):
     params, cfg = model
     rng = np.random.default_rng(4)

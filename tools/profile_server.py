@@ -17,6 +17,12 @@ EOS/eviction), a fixed ~5 ms/tick latency tax that a co-located host
 amortises — utilisation is the portable number.
 
 Run from the repo root: python tools/profile_server.py [n_slots] [n_requests]
+
+``--prefix P``: every request additionally shares a P-token system prompt.
+Adds a third comparator — the DecodeServer with the prefix REGISTERED
+(``register_prefix``: prefill once, copy K/V per admission) vs the same
+server re-prefilling [prefix ++ prompt] per admission — and checks the
+outputs are token-for-token equal.
 """
 import os
 import sys
@@ -32,21 +38,33 @@ from vitef_tpu.models import build_model
 from vitef_tpu.models.generation import generate
 from vitef_tpu.models.serving import DecodeServer, Request
 
+PREFIX = 0
+if "--prefix" in sys.argv:
+    i = sys.argv.index("--prefix")
+    PREFIX = int(sys.argv[i + 1])
+    del sys.argv[i:i + 2]
 N_SLOTS = int(sys.argv[1]) if len(sys.argv) > 1 else 8
 N_REQ = int(sys.argv[2]) if len(sys.argv) > 2 else 32
 WINDOW = int(sys.argv[3]) if len(sys.argv) > 3 else 8
-MAX_LEN = 256
+MAX_LEN = 256 + PREFIX
+
+PREFIX_TOKENS = np.random.default_rng(99).integers(
+    0, 50257, size=(PREFIX,)).tolist()
 
 
-def make_requests(seed=0):
+def make_requests(seed=0, shared_prefix=None, concat=False):
+    """``shared_prefix``: handle — own prompts only, admitted via the prefix
+    cache. ``concat=True``: [prefix ++ prompt] baked into every prompt (the
+    no-prefix-cache baseline of the same workload)."""
     rng = np.random.default_rng(seed)
     reqs = []
     for _ in range(N_REQ):
         plen = int(rng.integers(16, 121))
         mnew = int(rng.integers(16, 97))
+        prompt = rng.integers(0, 50257, size=(plen,)).tolist()
         reqs.append(Request(
-            prompt=rng.integers(0, 50257, size=(plen,)).tolist(),
-            max_new_tokens=mnew))
+            prompt=PREFIX_TOKENS + prompt if concat else prompt,
+            prefix=shared_prefix, max_new_tokens=mnew))
     return reqs
 
 
@@ -110,6 +128,29 @@ def main():
                              pretrained=False, compute_dtype="bfloat16"),
                         key=jax.random.key(0))
     params, cfg = model.params, model.config
+
+    if PREFIX:
+        global _srv
+        _srv = DecodeServer(params, cfg, n_slots=N_SLOTS, max_len=MAX_LEN,
+                            bucket=64, harvest_every=WINDOW)
+        h = _srv.register_prefix(PREFIX_TOKENS)
+        # warm both admission paths' shape buckets, then time hot
+        run_continuous(params, cfg, make_requests(concat=True))
+        run_continuous(params, cfg, make_requests(shared_prefix=h))
+        base = make_requests(concat=True)
+        useful = sum(r.max_new_tokens for r in base)
+        b_out, b_dt, b_ticks = run_continuous(params, cfg, base)
+        pre = make_requests(shared_prefix=h)
+        p_out, p_dt, p_ticks = run_continuous(params, cfg, pre)
+        match = all(a == b for a, b in zip(b_out, p_out))
+        print(f"requests={N_REQ} slots={N_SLOTS} window={WINDOW} "
+              f"prefix={PREFIX} useful_tokens={useful} outputs-equal={match}")
+        print(f"re-prefill:   {b_dt:6.1f}s  {useful / b_dt:8.0f} tok/s  "
+              f"ticks={b_ticks:4d}")
+        print(f"prefix-cache: {p_dt:6.1f}s  {useful / p_dt:8.0f} tok/s  "
+              f"ticks={p_ticks:4d}  "
+              f"prefill_tokens_saved={_srv.prefill_tokens_saved}")
+        return
 
     # Warm every shape bucket both paths will hit: run the full workload
     # once untimed (first compile over the tunnel is 20-40s per shape), then

@@ -139,6 +139,100 @@ def _make_window_fn(cfg: TransformerConfig, temperature, top_k, top_p,
     return jax.jit(run_window, donate_argnums=(1,))
 
 
+def _make_admit_prefix_fn(cfg: TransformerConfig):
+    """Admission with a PRECOMPUTED shared prefix (prefix caching).
+
+    A serving deployment typically runs every request through one system
+    prompt. Recomputing its prefill per admission wastes exactly
+    ``plen/(plen+len)`` of the admission FLOPs; instead the server prefills
+    the prefix ONCE (``DecodeServer.register_prefix``) and admission (a)
+    COPIES the stored per-layer (h, plen, d) K/V into the slot's cache rows
+    ``[0, plen)`` — an HBM copy, no recompute — and (b) prefills only the
+    request's OWN tokens at positions ``[plen, plen+len)``, with each block's
+    queries attending to [prefix K/V ++ own causal K/V].
+
+    The prefix length is STATIC per compiled admission (shape-keyed jit —
+    one compile per registered-prefix length + prompt bucket). Exactness:
+    the concatenated-key attention computes the same contractions as a
+    standalone prefill of [prefix ++ prompt], so greedy outputs match
+    ``generate()`` on the concatenation token-for-token (tested).
+    """
+    import math as _math
+
+    from .generation import _ffn as _gen_ffn, _split_heads
+
+    cd = cfg.cdtype()
+
+    def attn_ctx(ap: dict, x, ctx_k, ctx_v):
+        """Own-token causal attention with the prefix as leading context.
+
+        ``x``: (1, pb, E) normed input; ``ctx_k``/``ctx_v``: (h, plen, d).
+        Right-padded own rows are harmless: causality keeps real queries off
+        padded keys, and padded rows' K/V land beyond ``pos`` in the cache.
+        """
+        qkv = _linear(ap["qkv_mat"], x, cd)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        qh, kh, vh = (_split_heads(t, cfg.n_heads) for t in (q, k, v))
+        plen = ctx_k.shape[1]
+        pb = x.shape[1]
+        d = qh.shape[-1]
+        ck = jnp.concatenate([ctx_k[None].astype(qh.dtype), kh], axis=2)
+        cv = jnp.concatenate([ctx_v[None].astype(vh.dtype), vh], axis=2)
+        from ..ops.common import best_precision
+        scores = jnp.einsum("nhqd,nhkd->nhqk", qh, ck,
+                            precision=best_precision(qh, ck),
+                            preferred_element_type=jnp.float32)
+        scores = scores * (1.0 / _math.sqrt(d))
+        j = jnp.arange(plen + pb)[None, :]
+        visible = (j < plen) | ((j - plen) <= jnp.arange(pb)[:, None])
+        scores = jnp.where(visible[None, None], scores, -1e30)
+        weights = jax.nn.softmax(scores, axis=-1).astype(cv.dtype)
+        z = jnp.einsum("nhqk,nhkd->nhqd", weights, cv,
+                       precision=best_precision(weights, cv),
+                       preferred_element_type=jnp.float32).astype(cd)
+        z = z.transpose(0, 2, 1, 3).reshape(1, pb, -1)
+        return _linear(ap["output"], z, cd), kh, vh
+
+    def admit(params, cache, pos, slot, prefix_kv, prompt, length):
+        pb = prompt.shape[0]
+        plen = prefix_kv[0]["k"].shape[1]
+        emb = params["embedding"]
+        x = embed_rows(emb["token_emb"], prompt[None], cd)
+        if cfg.pos_emb:
+            x = x + emb["pos_emb"][0][plen + jnp.arange(pb)].astype(cd)[None]
+        new_cache = []
+        for bp, pkv, lc in zip(params["blocks"], prefix_kv, cache):
+            if cfg.pre_norm:
+                att, kh, vh = attn_ctx(bp["attn"], _norm(bp["attn_norm"],
+                                                         cfg, x),
+                                       pkv["k"], pkv["v"])
+                out = x + att
+                out = out + _gen_ffn(bp["ffn"], cfg,
+                                     _norm(bp["ffn_norm"], cfg, out))
+            else:
+                att, kh, vh = attn_ctx(bp["attn"], x, pkv["k"], pkv["v"])
+                out = _norm(bp["attn_norm"], cfg, x + att)
+                out = _norm(bp["ffn_norm"], cfg,
+                            out + _gen_ffn(bp["ffn"], cfg, out))
+            k_slot = jax.lax.dynamic_update_slice(
+                lc["k"], pkv["k"][None].astype(lc["k"].dtype),
+                (slot, 0, 0, 0))
+            k_slot = jax.lax.dynamic_update_slice(
+                k_slot, kh.astype(lc["k"].dtype), (slot, 0, plen, 0))
+            v_slot = jax.lax.dynamic_update_slice(
+                lc["v"], pkv["v"][None].astype(lc["v"].dtype),
+                (slot, 0, 0, 0))
+            v_slot = jax.lax.dynamic_update_slice(
+                v_slot, vh.astype(lc["v"].dtype), (slot, 0, plen, 0))
+            new_cache.append({"k": k_slot, "v": v_slot})
+            x = out
+        logits = _logits(params, cfg, x[0, length - 1])
+        pos = pos.at[slot].set(plen + length)
+        return new_cache, pos, logits
+
+    return jax.jit(admit, donate_argnums=(1,))
+
+
 def _make_admit_fn(cfg: TransformerConfig):
     """Prefill ONE right-padded prompt row, install it into ``slot``, and
     return the last REAL token's logits (to sample the first output from).
@@ -184,6 +278,7 @@ def _make_admit_fn(cfg: TransformerConfig):
 class Request:
     prompt: Any  # 1-D int32 array/list of token ids
     max_new_tokens: int
+    prefix: int | None = None  # handle from DecodeServer.register_prefix
     tokens: list = field(default_factory=list)  # output, filled by the server
     slot: int | None = None
     done: bool = False
@@ -232,6 +327,9 @@ class DecodeServer:
         self._window_fn = _make_window_fn(cfg, temperature, top_k, top_p,
                                           eos_token_id, self.window)
         self._admit_fn = _make_admit_fn(cfg)
+        self._admit_prefix_fn = _make_admit_prefix_fn(cfg)
+        self._prefixes: dict[int, dict] = {}
+        self.prefill_tokens_saved = 0  # telemetry: prefix tokens not recomputed
 
     def reset(self, rng=None) -> None:
         """Clear all slots (compiled step/admit closures stay hot).
@@ -247,12 +345,40 @@ class DecodeServer:
         if rng is not None:
             self.rng = rng
 
+    # -- prefix caching ------------------------------------------------------
+
+    def register_prefix(self, prefix_tokens) -> int:
+        """Prefill a shared prefix (system prompt) ONCE; returns a handle.
+
+        Requests carrying ``prefix=handle`` skip the prefix's prefill at
+        admission: its per-layer (h, plen, d) K/V is COPIED into the slot and
+        only the request's own tokens run the transformer. The prefix length
+        is static per compiled admission program (one compile per distinct
+        registered length + prompt bucket — register long-lived prefixes, not
+        per-request ones). Greedy outputs are token-for-token identical to a
+        standalone ``generate()`` on [prefix ++ prompt] (tested).
+        """
+        from .generation import prefill
+
+        p = jnp.asarray(prefix_tokens, jnp.int32)
+        assert p.ndim == 1 and p.shape[0] >= 1
+        plen = int(p.shape[0])
+        assert plen < self.max_len, "prefix must leave room for prompts"
+        _, cache = jax.jit(
+            lambda params, toks: prefill(params, self.cfg, toks, plen)
+        )(self.params, p[None])
+        kv = [{"k": lc["k"][0], "v": lc["v"][0]} for lc in cache]
+        handle = len(self._prefixes)
+        self._prefixes[handle] = {"kv": kv, "plen": plen}
+        return handle
+
     # -- admission ---------------------------------------------------------
 
-    def _bucketed(self, prompt):
+    def _bucketed(self, prompt, room: int | None = None):
         p = jnp.asarray(prompt, jnp.int32)
         pb = max(self.bucket, -(-p.shape[0] // self.bucket) * self.bucket)
-        pb = min(pb, self.max_len)  # bucket never exceeds the cache length
+        # bucket never exceeds the cache rows available to the prompt
+        pb = min(pb, self.max_len if room is None else room)
         assert p.shape[0] <= pb
         return jnp.pad(p, (0, pb - p.shape[0])), p.shape[0]
 
@@ -262,18 +388,33 @@ class DecodeServer:
                             top_p=self.top_p)[0]
 
     def admit(self, req: Request, slot: int) -> None:
-        padded, length = self._bucketed(req.prompt)
-        assert length + req.max_new_tokens <= self.max_len, (
-            f"request needs {length + req.max_new_tokens} > max_len "
-            f"{self.max_len}")
-        self.cache, self.pos, logits = self._admit_fn(
-            self.params, self.cache, self.pos, jnp.int32(slot), padded,
-            jnp.int32(length))
+        if req.prefix is not None:
+            pre = self._prefixes[req.prefix]
+            plen = pre["plen"]
+            padded, length = self._bucketed(req.prompt,
+                                            room=self.max_len - plen)
+            assert plen + length + req.max_new_tokens <= self.max_len, (
+                f"request needs {plen + length + req.max_new_tokens} > "
+                f"max_len {self.max_len}")
+            self.cache, self.pos, logits = self._admit_prefix_fn(
+                self.params, self.cache, self.pos, jnp.int32(slot),
+                pre["kv"], padded, jnp.int32(length))
+            self.prefill_tokens_saved += plen
+        else:
+            plen = 0
+            padded, length = self._bucketed(req.prompt)
+            assert length + req.max_new_tokens <= self.max_len, (
+                f"request needs {length + req.max_new_tokens} > max_len "
+                f"{self.max_len}")
+            self.cache, self.pos, logits = self._admit_fn(
+                self.params, self.cache, self.pos, jnp.int32(slot), padded,
+                jnp.int32(length))
         first = self._sample(logits)
         self.token = self.token.at[slot].set(first)
         # device-side budget: the remaining max_new - 1 ticks end when the
-        # write position reaches length + max_new - 1
-        self.limit = self.limit.at[slot].set(length + req.max_new_tokens - 1)
+        # write position reaches prefix + length + max_new - 1
+        self.limit = self.limit.at[slot].set(
+            plen + length + req.max_new_tokens - 1)
         self.active[slot] = True
         self._owner[slot] = req
         req.slot = slot
