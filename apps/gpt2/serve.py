@@ -73,14 +73,24 @@ def run(requests: str | None = None, demo: int = 0, model_name: str = "base",
         temperature: float = 0.0, top_k: int | None = None,
         top_p: float | None = None, eos: bool = True, bucket: int = 64,
         pretrained: bool = True, seed: int = 0,
-        compute_dtype: str = "bfloat16"):
+        compute_dtype: str = "bfloat16", quantize: str | None = None,
+        prefix: str | None = None):
     """Serve a request file (or --demo N synthetic requests) and print jsonl
-    results in input order as requests complete."""
+    results in input order as requests complete.
+
+    ``--quantize int8``: weight-only int8 params (models/quantize.py) — half
+    the weight HBM traffic of the decode step. ``--prefix``: comma-separated
+    token ids of a shared system prompt, prefilled once and prefix-cached
+    into every admission (``DecodeServer.register_prefix``)."""
     if (requests is None) == (demo == 0):
         raise SystemExit("pass exactly one of --requests or --demo N")
     model = build_model(dict(
         implementation="gpt2", model_name=model_name, pretrained=pretrained,
         compute_dtype=compute_dtype), key=jax.random.key(seed))
+    if quantize is not None:
+        if quantize != "int8":
+            raise SystemExit(f"--quantize must be int8, got {quantize!r}")
+        model.params = jax.jit(model.quantize_int8)(model.params)
 
     tokenizer = None
     try:
@@ -97,6 +107,15 @@ def run(requests: str | None = None, demo: int = 0, model_name: str = "base",
         model.params, model.config, n_slots=n_slots, max_len=max_len,
         temperature=temperature, top_k=top_k, top_p=top_p,
         eos_token_id=eos_id, bucket=bucket, rng=jax.random.key(seed))
+    if prefix is not None:
+        # the CLI may hand us "3,1,4" (string) or an already-parsed sequence
+        if isinstance(prefix, (tuple, list)):
+            ids = [int(t) for t in prefix]
+        else:
+            ids = [int(t) for t in str(prefix).split(",") if t != ""]
+        h = srv.register_prefix(ids)
+        for req in reqs:
+            req.prefix = h
 
     import time
 

@@ -10,6 +10,12 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
+# Zero-egress image: make HF hub lookups fail FAST instead of 5 retries x
+# exponential backoff per file (~45 s each place a tokenizer/weights load
+# falls back to random init).
+os.environ.setdefault("HF_HUB_OFFLINE", "1")
+os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")

@@ -168,3 +168,41 @@ def test_gpt2_serve_cli(monkeypatch, capsys, tmp_path):
                    jnp.asarray([[3, 1, 4, 1, 5]], jnp.int32), 4,
                    temperature=0.0)
     assert lines[0]["tokens"] == [int(t) for t in np.asarray(ref[0])]
+
+
+def test_gpt2_serve_cli_quantized_with_prefix(monkeypatch, capsys, tmp_path):
+    """--quantize int8 + --prefix: the served output equals a standalone
+    generate() through the SAME quantized params on [prefix ++ prompt]."""
+    import json
+    import sys
+
+    reqs = tmp_path / "requests.jsonl"
+    reqs.write_text(json.dumps(
+        {"token_ids": [9, 2, 6, 4], "max_new_tokens": 3}))
+    monkeypatch.setattr(sys, "argv", [
+        "serve", "run", "--requests", str(reqs), "--n_slots", "1",
+        "--max_len", "32", "--bucket", "4", "--temperature", "0.0",
+        "--pretrained", "False", "--eos", "False",
+        "--compute_dtype", "float32", "--quantize", "int8",
+        "--prefix", "3,1,4"])
+    from apps.gpt2.serve import main
+
+    main()
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()
+             if l.strip().startswith("{")]
+    assert len(lines) == 1 and len(lines[0]["tokens"]) == 3
+
+    import jax
+    import jax.numpy as jnp
+
+    from vitef_tpu.models import build_model
+    from vitef_tpu.models.generation import generate
+
+    model = build_model(dict(implementation="gpt2", model_name="base",
+                             pretrained=False, compute_dtype="float32"),
+                        key=jax.random.key(0))
+    qparams = model.quantize_int8()
+    ref = generate(qparams, model.config,
+                   jnp.asarray([[3, 1, 4, 9, 2, 6, 4]], jnp.int32), 3,
+                   temperature=0.0)
+    assert lines[0]["tokens"] == [int(t) for t in np.asarray(ref[0])]
