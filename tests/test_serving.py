@@ -165,6 +165,48 @@ def test_prefix_cache_postnorm(model):
     assert req.tokens == ref_greedy(params, cfg, prefix + prompt, 6)
 
 
+@pytest.mark.parametrize("dp,tp,n_slots", [(8, 1, 8), (4, 2, 4)])
+def test_mesh_sharded_server_matches_single_device(model, dp, tp, n_slots):
+    """Multi-chip serving: the server on a dp x tp mesh (params sharded by
+    the TP rules, cache pool sharded slots-over-dp / heads-over-tp) produces
+    token-for-token the single-device server's output — pjit propagates the
+    shardings through admission, the window scan, and slot recycling."""
+    from vitef_tpu.parallel import build_mesh
+
+    params, cfg = model
+    rng = np.random.default_rng(8)
+    prompts = [rng.integers(0, cfg.vocab_size,
+                            size=(int(rng.integers(3, 12)),)).tolist()
+               for _ in range(6)]
+    news = [int(rng.integers(2, 8)) for _ in prompts]
+
+    plain = DecodeServer(params, cfg, n_slots=n_slots, bucket=8)
+    want = plain.serve([Request(prompt=p, max_new_tokens=n)
+                        for p, n in zip(prompts, news)])
+
+    mesh = build_mesh(dp=dp, tp=tp)
+    srv = DecodeServer(params, cfg, n_slots=n_slots, bucket=8, mesh=mesh)
+    got = srv.serve([Request(prompt=p, max_new_tokens=n)
+                     for p, n in zip(prompts, news)])
+    for w, g in zip(want, got):
+        assert g.done and g.tokens == w.tokens
+
+
+def test_mesh_sharded_server_with_prefix(model):
+    """Prefix caching composes with the mesh-sharded server."""
+    from vitef_tpu.parallel import build_mesh
+
+    params, cfg = model
+    rng = np.random.default_rng(9)
+    prefix = rng.integers(0, cfg.vocab_size, size=(7,)).tolist()
+    prompt = rng.integers(0, cfg.vocab_size, size=(5,)).tolist()
+    srv = DecodeServer(params, cfg, n_slots=4, bucket=8,
+                       mesh=build_mesh(dp=4, tp=2))
+    h = srv.register_prefix(prefix)
+    (req,) = srv.serve([Request(prompt=prompt, prefix=h, max_new_tokens=6)])
+    assert req.tokens == ref_greedy(params, cfg, prefix + prompt, 6)
+
+
 def test_sampled_mode_runs_and_respects_vocab(model):
     params, cfg = model
     rng = np.random.default_rng(4)

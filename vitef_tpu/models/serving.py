@@ -293,13 +293,21 @@ class DecodeServer:
     equivalence guarantee. Sampling modes reuse the same machinery with a
     per-step rng (streams differ from batch-synchronous ``generate()`` by
     construction — acceptance of a step depends on co-tenancy).
+
+    ``mesh``: multi-chip serving. Params are sharded by the training TP
+    rules (qkv/fc1 column-parallel, output/fc2 row-parallel), the slot cache
+    pool slots-over-'dp' / heads-over-'tp'; pjit propagates the shardings
+    through admission and the window scan and inserts the row-parallel
+    psums. Outputs are token-for-token the single-device server's (tested
+    on the CPU mesh; the model must already fit TP: n_heads % tp == 0,
+    n_slots % dp == 0). Composes with int8 weights and prefix caching.
     """
 
     def __init__(self, params, cfg: TransformerConfig, *, n_slots: int,
                  max_len: int | None = None, temperature: float = 0.0,
                  top_k: int | None = None, top_p: float | None = None,
                  eos_token_id: int | None = None, bucket: int = 64,
-                 harvest_every: int = 8, rng=None):
+                 harvest_every: int = 8, rng=None, mesh=None):
         _check_decoder(cfg)
         self.params, self.cfg = params, cfg
         self.n_slots = n_slots
@@ -310,6 +318,34 @@ class DecodeServer:
         self.bucket = bucket
         self.rng = rng if rng is not None else jax.random.key(0)
 
+        # Multi-chip serving: shard params by the training TP rules
+        # (qkv/fc1 column-parallel, output/fc2 row-parallel) and the cache
+        # pool over the mesh — heads ride 'tp' (each chip holds its heads'
+        # K/V, matching the column-parallel qkv it computes), slots ride
+        # 'dp' (throughput scaling). pjit propagates the shardings through
+        # admission and the window scan and inserts the row-parallel psums;
+        # outputs are exactly the single-device server's (tested on the CPU
+        # mesh). The host orchestration is unchanged.
+        cache_sharding = None
+        self._replicate = lambda x: x  # host state -> mesh (identity off-mesh)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.mesh import shard_params
+
+            self.params = shard_params(params, mesh)
+            dp = "dp" if mesh.shape.get("dp", 1) > 1 else None
+            tp = "tp" if mesh.shape.get("tp", 1) > 1 else None
+            if dp:
+                assert n_slots % mesh.shape["dp"] == 0, (
+                    "n_slots must divide over the dp axis")
+            if tp:
+                assert cfg.n_heads % mesh.shape["tp"] == 0
+            cache_sharding = NamedSharding(mesh, P(dp, tp, None, None))
+            repl = NamedSharding(mesh, P())
+            self._replicate = lambda x: jax.device_put(x, repl)
+        self.rng = self._replicate(self.rng)
+
         d = cfg.emb_dim // cfg.n_heads
         cd = cfg.cdtype()
         self.cache = [
@@ -317,9 +353,11 @@ class DecodeServer:
              "v": jnp.zeros((n_slots, cfg.n_heads, self.max_len, d), cd)}
             for _ in range(cfg.n_layers)
         ]
-        self.pos = jnp.zeros((n_slots,), jnp.int32)
-        self.token = jnp.zeros((n_slots,), jnp.int32)
-        self.limit = jnp.zeros((n_slots,), jnp.int32)
+        if cache_sharding is not None:
+            self.cache = jax.device_put(self.cache, cache_sharding)
+        self.pos = self._replicate(jnp.zeros((n_slots,), jnp.int32))
+        self.token = self._replicate(jnp.zeros((n_slots,), jnp.int32))
+        self.limit = self._replicate(jnp.zeros((n_slots,), jnp.int32))
         self.active = [False] * n_slots
         self._owner: list[Request | None] = [None] * n_slots
         self.steps = 0  # decode ticks executed (telemetry)
@@ -336,14 +374,14 @@ class DecodeServer:
 
         The cache itself needs no zeroing: admission overwrites ``[0, len)``
         and ``pos`` masks everything beyond."""
-        self.pos = jnp.zeros((self.n_slots,), jnp.int32)
-        self.token = jnp.zeros((self.n_slots,), jnp.int32)
-        self.limit = jnp.zeros((self.n_slots,), jnp.int32)
+        self.pos = self._replicate(jnp.zeros((self.n_slots,), jnp.int32))
+        self.token = self._replicate(jnp.zeros((self.n_slots,), jnp.int32))
+        self.limit = self._replicate(jnp.zeros((self.n_slots,), jnp.int32))
         self.active = [False] * self.n_slots
         self._owner = [None] * self.n_slots
         self.steps = 0
         if rng is not None:
-            self.rng = rng
+            self.rng = self._replicate(rng)
 
     # -- prefix caching ------------------------------------------------------
 
