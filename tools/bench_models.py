@@ -118,6 +118,58 @@ def bench_gpt2(batch=8, size="base"):
         "vs_roofline": round(tps / roof, 4)}), flush=True)
 
 
+def llama_flops(emb, layers, seq, vocab, ffn, kv_dim):
+    """fwd FLOPs per sequence: qkv (asymmetric GQA) + out + swiglu (3 matmuls)
+    + causal-useful attention + untied head."""
+    per_tok = layers * (emb * (emb + 2 * kv_dim) + emb * emb + 3 * emb * ffn
+                        + 2 * (seq // 2) * emb) + emb * vocab
+    return 2 * seq * per_tok
+
+
+def bench_llama(batch=16, size="124m"):
+    from vitef_tpu.models import build_model
+    from vitef_tpu.optim import build_optimizer, build_scheduler
+    from vitef_tpu.parallel import init_train_state, make_train_step
+
+    model = build_model(dict(
+        implementation="llama", model_name=size, pretrained=False,
+        seq_len=1024, compute_dtype="bfloat16"), key=jax.random.key(0))
+    cfg = model.config
+    seq = cfg.seq_len
+
+    from vitef_tpu.ops import next_token_cross_entropy as lm_loss
+
+    schedule = build_scheduler({"scheduler": "cosine", "warmup": 100}, n_steps=1000)
+    tx, _ = build_optimizer({"optimizer": "adamw", "lr": 3e-4},
+                            schedule=schedule, grad_clip=1.0)
+    step_fn = make_train_step(model.apply, tx, loss_fn=lm_loss,
+                              schedule=schedule, base_lr=3e-4)
+    state = init_train_state(model.params, tx)
+
+    rng = np.random.default_rng(0)
+    toks = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(batch, seq)),
+                       jnp.int32)
+
+    for _ in range(WARMUP):
+        state, m = step_fn(state, (toks, toks))
+    float(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        state, m = step_fn(state, (toks, toks))
+    float(m["loss"])
+    dt = time.perf_counter() - t0
+
+    tps = batch * seq * STEPS / dt
+    roof = detect_peak() / (3 * llama_flops(
+        cfg.emb_dim, cfg.n_layers, seq, cfg.vocab_size, cfg.ffn_dim,
+        cfg.kv_dim) / seq)
+    print(json.dumps({
+        "metric": f"llama_{size}_train_throughput", "value": round(tps, 0),
+        "unit": "tokens/sec/chip", "batch": batch, "seq": seq,
+        "ms_per_step": round(dt / STEPS * 1000, 1),
+        "vs_roofline": round(tps / roof, 4)}), flush=True)
+
+
 if __name__ == "__main__":
     which = sys.argv[1:] or ["vit_base", "vit_large", "vit_huge", "gpt2"]
     if "vit_base" in which:
@@ -132,3 +184,5 @@ if __name__ == "__main__":
         bench_gpt2(batch=16, size="medium")  # 62.9% vs 61.2% at batch 8
     if "gpt2_large" in which:
         bench_gpt2(batch=4, size="large")  # largest single-chip AdamW fit
+    if "llama" in which:
+        bench_llama(batch=16)  # 124m GQA/rope/swiglu preset at L=1024

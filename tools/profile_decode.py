@@ -43,16 +43,26 @@ def main():
                     help="int8 = weight-only quantization (models/quantize.py)"
                          " — the lever for low-batch, weight-bandwidth-bound"
                          " decode")
+    ap.add_argument("--family", default="gpt2", choices=["gpt2", "llama"],
+                    help="llama = the 124m GQA preset (4 kv heads vs 12 q"
+                         " heads: the cache — decode's bound — is 3x smaller"
+                         " at the same parameter scale)")
     args = ap.parse_args()
 
-    m = build_model(dict(
-        implementation="transformer", vocab_size=50257, emb_type="dict",
-        emb_dim=768, n_heads=12, n_layers=12, seq_len=1024, causal=True,
-        pre_norm=True, weight_tying=True, output_type="sequence_to_sequence",
-        attn_bias=True, ffn_bias=True, norm_bias=True,
-        compute_dtype="bfloat16"), key=jax.random.key(0))
+    if args.family == "llama":
+        m = build_model(dict(
+            implementation="llama", model_name="124m", pretrained=False,
+            seq_len=1024, compute_dtype="bfloat16"), key=jax.random.key(0))
+    else:
+        m = build_model(dict(
+            implementation="transformer", vocab_size=50257, emb_type="dict",
+            emb_dim=768, n_heads=12, n_layers=12, seq_len=1024, causal=True,
+            pre_norm=True, weight_tying=True,
+            output_type="sequence_to_sequence",
+            attn_bias=True, ffn_bias=True, norm_bias=True,
+            compute_dtype="bfloat16"), key=jax.random.key(0))
     prompt = np.random.default_rng(0).integers(
-        0, 50257, size=(args.batch, args.prompt))
+        0, m.config.vocab_size, size=(args.batch, args.prompt))
     prompt = jax.numpy.asarray(prompt, jax.numpy.int32)
 
     params = m.params

@@ -164,6 +164,11 @@ def build_model(config: dict[str, Any], key=None, return_config: bool = False):
 
         cfg = build_with_type_check(PatchTSTConfig, config)
         params, tcfg, name = build_patchtst(cfg, key)
+    elif impl == "llama":
+        from .llama import LlamaConfig, build_llama
+
+        cfg = build_with_type_check(LlamaConfig, config)
+        params, tcfg, name = build_llama(cfg, key)
     elif impl == "transformer":
         cfg = build_with_type_check(TransformerConfig, config)
         params = T.init_transformer(key, cfg)

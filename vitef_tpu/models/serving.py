@@ -69,12 +69,24 @@ def _block_decode_slots(bp: dict, cfg: TransformerConfig, x, layer_cache,
     s_idx = jnp.arange(x.shape[0])
 
     def attn(x_in):
+        from .transformer import split_qkv
+
         qkv = _linear(bp["attn"]["qkv_mat"], x_in, cd)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        n, e = k.shape
-        d = e // cfg.n_heads
-        kh = k.reshape(n, cfg.n_heads, d)
-        vh = v.reshape(n, cfg.n_heads, d)
+        q, k, v = split_qkv(cfg, qkv)
+        n = k.shape[0]
+        d = cfg.head_dim
+        if cfg.uses_rope:
+            from .generation import _rope_cos_sin
+            from .rope import apply_rope
+
+            # slot prompts start at cache index 0: logical position == pos
+            cos, sin = _rope_cos_sin(cfg, pos)  # (S, d/2)
+            q = apply_rope(q.reshape(n, cfg.n_heads, d),
+                           cos[:, None], sin[:, None]).reshape(n, -1)
+            k = apply_rope(k.reshape(n, cfg.n_kv_heads, d),
+                           cos[:, None], sin[:, None]).reshape(n, -1)
+        kh = k.reshape(n, cfg.n_kv_heads, d)
+        vh = v.reshape(n, cfg.n_kv_heads, d)
         cache = {
             "k": layer_cache["k"].at[s_idx, :, pos].set(
                 kh.astype(layer_cache["k"].dtype)),
@@ -166,31 +178,50 @@ def _make_admit_prefix_fn(cfg: TransformerConfig):
     def attn_ctx(ap: dict, x, ctx_k, ctx_v):
         """Own-token causal attention with the prefix as leading context.
 
-        ``x``: (1, pb, E) normed input; ``ctx_k``/``ctx_v``: (h, plen, d).
-        Right-padded own rows are harmless: causality keeps real queries off
-        padded keys, and padded rows' K/V land beyond ``pos`` in the cache.
+        ``x``: (1, pb, E) normed input; ``ctx_k``/``ctx_v``: (kv, plen, d)
+        (already ROTATED for rope models — register_prefix stores the
+        prefill cache). Right-padded own rows are harmless: causality keeps
+        real queries off padded keys, and padded rows' K/V land beyond
+        ``pos`` in the cache.
         """
-        qkv = _linear(ap["qkv_mat"], x, cd)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        qh, kh, vh = (_split_heads(t, cfg.n_heads) for t in (q, k, v))
+        from .transformer import split_qkv
+
         plen = ctx_k.shape[1]
         pb = x.shape[1]
-        d = qh.shape[-1]
+        d = cfg.head_dim
+        kvh = cfg.n_kv_heads
+        g = cfg.n_heads // kvh
+        qkv = _linear(ap["qkv_mat"], x, cd)
+        q, k, v = split_qkv(cfg, qkv)
+        if cfg.uses_rope:
+            from .generation import _rope_cos_sin
+            from .rope import apply_rope
+
+            cos, sin = _rope_cos_sin(cfg, plen + jnp.arange(pb))
+            cs = (cos[:, None], sin[:, None])  # over (1, pb, heads, d)
+            q = apply_rope(q.reshape(1, pb, cfg.n_heads, d), *cs).reshape(
+                1, pb, -1)
+            k = apply_rope(k.reshape(1, pb, kvh, d), *cs).reshape(1, pb, -1)
+        qh = _split_heads(q, cfg.n_heads)  # (1, h, pb, d)
+        kh = _split_heads(k, kvh)
+        vh = _split_heads(v, kvh)
         ck = jnp.concatenate([ctx_k[None].astype(qh.dtype), kh], axis=2)
         cv = jnp.concatenate([ctx_v[None].astype(vh.dtype), vh], axis=2)
         from ..ops.common import best_precision
-        scores = jnp.einsum("nhqd,nhkd->nhqk", qh, ck,
-                            precision=best_precision(qh, ck),
+        qg = qh.reshape(1, kvh, g, pb, d)
+        scores = jnp.einsum("nkgqd,nkKd->nkgqK", qg, ck,
+                            precision=best_precision(qg, ck),
                             preferred_element_type=jnp.float32)
         scores = scores * (1.0 / _math.sqrt(d))
         j = jnp.arange(plen + pb)[None, :]
         visible = (j < plen) | ((j - plen) <= jnp.arange(pb)[:, None])
-        scores = jnp.where(visible[None, None], scores, -1e30)
+        scores = jnp.where(visible[None, None, None], scores, -1e30)
         weights = jax.nn.softmax(scores, axis=-1).astype(cv.dtype)
-        z = jnp.einsum("nhqk,nhkd->nhqd", weights, cv,
+        z = jnp.einsum("nkgqK,nkKd->nkgqd", weights, cv,
                        precision=best_precision(weights, cv),
                        preferred_element_type=jnp.float32).astype(cd)
-        z = z.transpose(0, 2, 1, 3).reshape(1, pb, -1)
+        z = z.reshape(1, cfg.n_heads, pb, d).transpose(0, 2, 1, 3).reshape(
+            1, pb, -1)
         return _linear(ap["output"], z, cd), kh, vh
 
     def admit(params, cache, pos, slot, prefix_kv, prompt, length):
@@ -254,8 +285,8 @@ def _make_admit_fn(cfg: TransformerConfig):
         new_cache = []
         for bp, lc in zip(params["blocks"], cache):
             x, k, v = _block_prefill(bp, cfg, x)
-            kh = _split_heads(k.astype(cd), cfg.n_heads)  # (1, h, Pb, d)
-            vh = _split_heads(v.astype(cd), cfg.n_heads)
+            kh = _split_heads(k.astype(cd), cfg.n_kv_heads)  # (1, kv, Pb, d)
+            vh = _split_heads(v.astype(cd), cfg.n_kv_heads)
             new_cache.append({
                 "k": jax.lax.dynamic_update_slice(
                     lc["k"], kh.astype(lc["k"].dtype), (slot, 0, 0, 0)),
@@ -341,16 +372,18 @@ class DecodeServer:
                     "n_slots must divide over the dp axis")
             if tp:
                 assert cfg.n_heads % mesh.shape["tp"] == 0
+                assert cfg.n_kv_heads % mesh.shape["tp"] == 0, (
+                    "GQA cache sharding needs n_kv_heads % tp == 0")
             cache_sharding = NamedSharding(mesh, P(dp, tp, None, None))
             repl = NamedSharding(mesh, P())
             self._replicate = lambda x: jax.device_put(x, repl)
         self.rng = self._replicate(self.rng)
 
-        d = cfg.emb_dim // cfg.n_heads
+        d = cfg.head_dim
         cd = cfg.cdtype()
         self.cache = [
-            {"k": jnp.zeros((n_slots, cfg.n_heads, self.max_len, d), cd),
-             "v": jnp.zeros((n_slots, cfg.n_heads, self.max_len, d), cd)}
+            {"k": jnp.zeros((n_slots, cfg.n_kv_heads, self.max_len, d), cd),
+             "v": jnp.zeros((n_slots, cfg.n_kv_heads, self.max_len, d), cd)}
             for _ in range(cfg.n_layers)
         ]
         if cache_sharding is not None:

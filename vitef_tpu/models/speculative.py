@@ -60,20 +60,22 @@ def _attend_window(q, k_cache, v_cache, n_heads: int, pos):
     written at [pos, pos+W). fp32 softmax like the one-token path.
     """
     n, w, e = q.shape
-    h = n_heads
-    d = e // h
+    kvh = k_cache.shape[1]
+    g = n_heads // kvh  # GQA query groups (1 = standard MHA)
+    d = e // n_heads
     lmax = k_cache.shape[2]
-    qh = _split_heads(q, h)  # (N, h, W, d)
-    scores = jnp.einsum("nhwd,nhkd->nhwk", qh, k_cache,
+    qh = _split_heads(q, n_heads).reshape(n, kvh, g, w, d)
+    scores = jnp.einsum("nkgwd,nkKd->nkgwK", qh, k_cache,
                         precision=best_precision(qh, k_cache),
                         preferred_element_type=jnp.float32)
     scores = scores * (1.0 / math.sqrt(d))
     valid = jnp.arange(lmax)[None, :] <= (pos + jnp.arange(w))[:, None]
-    scores = jnp.where(valid[None, None], scores, _NEG_INF)
+    scores = jnp.where(valid[None, None, None], scores, _NEG_INF)
     weights = jax.nn.softmax(scores, axis=-1).astype(v_cache.dtype)
-    out = jnp.einsum("nhwk,nhkd->nhwd", weights, v_cache,
+    out = jnp.einsum("nkgwK,nkKd->nkgwd", weights, v_cache,
                      precision=best_precision(weights, v_cache),
                      preferred_element_type=jnp.float32).astype(q.dtype)
+    out = out.reshape(n, n_heads, w, d)
     return out.transpose(0, 2, 1, 3).reshape(n, w, e)
 
 
@@ -82,17 +84,29 @@ def _block_decode_window(bp: dict, cfg: TransformerConfig, x, layer_cache, pos):
     cd = cfg.cdtype()
 
     def attn(x_in):
+        from .transformer import split_qkv
+
         n, w, e = x_in.shape
-        d = e // cfg.n_heads
+        d = cfg.head_dim
         qkv = _linear(bp["attn"]["qkv_mat"], x_in, cd)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q, k, v = split_qkv(cfg, qkv)
+        if cfg.uses_rope:
+            from .generation import _rope_cos_sin
+            from .rope import apply_rope
+
+            cos, sin = _rope_cos_sin(cfg, pos + jnp.arange(w))  # (W, d/2)
+            cs = (cos[:, None], sin[:, None])  # over (N, W, heads, d)
+            q = apply_rope(q.reshape(n, w, cfg.n_heads, d), *cs).reshape(
+                n, w, e)
+            k = apply_rope(k.reshape(n, w, cfg.n_kv_heads, d), *cs).reshape(
+                n, w, -1)
         kc = jax.lax.dynamic_update_slice(
             layer_cache["k"],
-            _split_heads(k, cfg.n_heads).astype(layer_cache["k"].dtype),
+            _split_heads(k, cfg.n_kv_heads).astype(layer_cache["k"].dtype),
             (0, 0, pos, 0))
         vc = jax.lax.dynamic_update_slice(
             layer_cache["v"],
-            _split_heads(v, cfg.n_heads).astype(layer_cache["v"].dtype),
+            _split_heads(v, cfg.n_kv_heads).astype(layer_cache["v"].dtype),
             (0, 0, pos, 0))
         z = _attend_window(q, kc, vc, cfg.n_heads, pos)
         return _linear(bp["attn"]["output"], z, cd), {"k": kc, "v": vc}

@@ -198,6 +198,37 @@ def hf_gpt2_to_vitef(hf: dict[str, np.ndarray], n_layers: int) -> dict[str, np.n
     return out
 
 
+def hf_llama_to_vitef(hf: dict[str, np.ndarray], n_layers: int) -> dict[str, np.ndarray]:
+    """HF LlamaForCausalLM state dict → vitef-named torch-layout dict.
+
+    Beyond-parity family (the reference stops at ViT/GPT2/PatchTST). Key
+    subtleties: q/k/v concat into the fused qkv (k/v are n_kv_heads wide —
+    GQA), gate_proj/up_proj concat into the packed swiglu fc1 ([gate ++ up],
+    matching transformer.apply_ffn's split), RMSNorms have no bias, the head
+    is untied, and HF llama stores q/k in the rotate_half RoPE convention —
+    the same one models/rope.py implements, so weights import unchanged.
+    """
+    out: dict[str, np.ndarray] = {
+        "embedding.token_emb.weight": hf["model.embed_tokens.weight"],
+        "output.output_layer.output_norm.weight": hf["model.norm.weight"],
+        "output.output_layer.output.weight": hf["lm_head.weight"],
+    }
+    for i in range(n_layers):
+        h = f"model.layers.{i}."
+        v = f"blocks.{i}."
+        out[v + "attn_norm.weight"] = hf[h + "input_layernorm.weight"]
+        out[v + "ffn_norm.weight"] = hf[h + "post_attention_layernorm.weight"]
+        out[v + "attn.qkv_mat.weight"] = np.concatenate(
+            [hf[h + f"self_attn.{m}_proj.weight"] for m in ("q", "k", "v")],
+            axis=0)
+        out[v + "attn.output.weight"] = hf[h + "self_attn.o_proj.weight"]
+        out[v + "ffn.fc1.weight"] = np.concatenate(
+            [hf[h + "mlp.gate_proj.weight"], hf[h + "mlp.up_proj.weight"]],
+            axis=0)
+        out[v + "ffn.fc2.weight"] = hf[h + "mlp.down_proj.weight"]
+    return out
+
+
 def torch_state_dict_to_numpy(sd) -> dict[str, np.ndarray]:
     """torch state dict → {name: numpy} (detached, cpu)."""
     return {k: np.asarray(v.detach().cpu().numpy()) for k, v in sd.items()}
