@@ -74,35 +74,43 @@ def run(requests: str | None = None, demo: int = 0, model_name: str = "base",
         top_p: float | None = None, eos: bool = True, bucket: int = 64,
         pretrained: bool = True, seed: int = 0,
         compute_dtype: str = "bfloat16", quantize: str | None = None,
-        prefix: str | None = None):
+        prefix: str | None = None, implementation: str = "gpt2"):
     """Serve a request file (or --demo N synthetic requests) and print jsonl
     results in input order as requests complete.
 
     ``--quantize int8``: weight-only int8 params (models/quantize.py) — half
     the weight HBM traffic of the decode step. ``--prefix``: comma-separated
     token ids of a shared system prompt, prefilled once and prefix-cached
-    into every admission (``DecodeServer.register_prefix``)."""
+    into every admission (``DecodeServer.register_prefix``).
+    ``--implementation llama --model_name 1b``: serve the llama GQA family
+    (token-id mode; its 2-4x smaller KV cache is decode's bound)."""
     if (requests is None) == (demo == 0):
         raise SystemExit("pass exactly one of --requests or --demo N")
-    model = build_model(dict(
-        implementation="gpt2", model_name=model_name, pretrained=pretrained,
-        compute_dtype=compute_dtype), key=jax.random.key(seed))
+    build_args = dict(
+        implementation=implementation, model_name=model_name,
+        pretrained=pretrained, compute_dtype=compute_dtype)
+    if implementation == "llama":
+        build_args["seq_len"] = max_len  # cap the rope/cache length
+    model = build_model(build_args, key=jax.random.key(seed))
     if quantize is not None:
         if quantize != "int8":
             raise SystemExit(f"--quantize must be int8, got {quantize!r}")
         model.params = jax.jit(model.quantize_int8)(model.params)
 
     tokenizer = None
-    try:
-        from vitef_tpu.models.gpt2 import get_tokenizer
+    if implementation == "gpt2":
+        try:
+            from vitef_tpu.models.gpt2 import get_tokenizer
 
-        tokenizer = get_tokenizer()
-    except Exception:  # zero-egress: token-id mode only
-        pass
+            tokenizer = get_tokenizer()
+        except Exception:  # zero-egress: token-id mode only
+            pass
 
     reqs = _load_requests(requests, demo, tokenizer, model.config.vocab_size,
                           max_new_tokens)
-    eos_id = 50256 if eos and model.config.vocab_size > 50256 else None
+    # 50256 is GPT-2's <|endoftext|>; other families pass ids explicitly
+    eos_id = (50256 if eos and implementation == "gpt2"
+              and model.config.vocab_size > 50256 else None)
     srv = DecodeServer(
         model.params, model.config, n_slots=n_slots, max_len=max_len,
         temperature=temperature, top_k=top_k, top_p=top_p,

@@ -186,3 +186,5 @@ if __name__ == "__main__":
         bench_gpt2(batch=4, size="large")  # largest single-chip AdamW fit
     if "llama" in which:
         bench_llama(batch=16)  # 124m GQA/rope/swiglu preset at L=1024
+    if "llama_1b" in which:
+        bench_llama(batch=4, size="1b")  # Llama-3.2-1B geometry
