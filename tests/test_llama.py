@@ -158,6 +158,41 @@ def test_llama_builds_and_forwards():
     assert np.isfinite(np.asarray(logits)).all()
 
 
+def test_gqa_flash_fallback_matches_einsum(monkeypatch):
+    """Geometries past the packed kernel's VMEM gate (llama-1b: E=2048 at
+    L=1024 overflowed Mosaic's scoped stack on device) must keep a TILED
+    kernel: with the gate forced shut, the bf16 pallas path routes through
+    flash_attention (rope rotated, kv heads repeated) and matches the
+    grouped-einsum reference."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    import vitef_tpu.ops.attention as A
+
+    def build(attn_impl):
+        return build_model(dict(implementation="llama", model_name="tiny",
+                                pretrained=False, compute_dtype="bfloat16",
+                                attn_impl=attn_impl, norm_impl="xla"),
+                           key=jax.random.key(0))
+
+    m_ref = build("xla")
+    m = build("pallas")
+    toks = jnp.asarray(np.random.default_rng(11).integers(
+        0, m.config.vocab_size, size=(2, 16)), jnp.int32)
+
+    ref = apply_transformer(m_ref.params, m_ref.config, toks)  # einsum path
+
+    monkeypatch.setattr(A, "packed_mha_supported", lambda *a, **k: False)
+    with pltpu.force_tpu_interpret_mode():
+        got = apply_transformer(m.params, m.config, toks)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32),
+                               atol=0.15, rtol=0.05)
+    # per-position argmax agreement is the serving-relevant bar
+    agree = (np.argmax(np.asarray(got, np.float32), -1)
+             == np.argmax(np.asarray(ref, np.float32), -1)).mean()
+    assert agree > 0.9
+
+
 def test_llama_prefill_matches_full_forward():
     """The generation prefill's last-position logits equal the training
     forward's — rope/GQA decode numerics match the apply path."""

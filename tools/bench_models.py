@@ -187,4 +187,10 @@ if __name__ == "__main__":
     if "llama" in which:
         bench_llama(batch=16)  # 124m GQA/rope/swiglu preset at L=1024
     if "llama_1b" in which:
-        bench_llama(batch=4, size="1b")  # Llama-3.2-1B geometry
+        # Llama-3.2-1B AdamW training does NOT fit one 16G v5e chip: the
+        # f32 param+m+v state alone is ~18G (measured compile OOM: 24.25G
+        # requested vs 15.75G — PERF.md "Llama family"). Training 1b+ is a
+        # multi-chip FSDP job (parallel/mesh.py); the single-chip 1b story
+        # is SERVING: tools/profile_decode.py --family llama
+        # --model_name 1b --params_dtype bf16.
+        bench_llama(batch=4, size="1b")

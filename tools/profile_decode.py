@@ -44,14 +44,22 @@ def main():
                          " — the lever for low-batch, weight-bandwidth-bound"
                          " decode")
     ap.add_argument("--family", default="gpt2", choices=["gpt2", "llama"],
-                    help="llama = the 124m GQA preset (4 kv heads vs 12 q"
-                         " heads: the cache — decode's bound — is 3x smaller"
-                         " at the same parameter scale)")
+                    help="llama = GQA presets (fewer kv heads than q heads:"
+                         " the cache — decode's bound — shrinks by the group"
+                         " factor at the same parameter scale)")
+    ap.add_argument("--model_name", default="124m",
+                    help="llama preset (124m | 1b | tiny); gpt2 is fixed")
+    ap.add_argument("--params_dtype", default="keep",
+                    choices=["keep", "bf16"],
+                    help="bf16 = cast the f32-initialised params once before"
+                         " serving (halves resident weight HBM — required to"
+                         " fit llama-1b + a big KV cache on one 16G chip)")
     args = ap.parse_args()
 
     if args.family == "llama":
         m = build_model(dict(
-            implementation="llama", model_name="124m", pretrained=False,
+            implementation="llama", model_name=args.model_name,
+            pretrained=False,
             seq_len=1024, compute_dtype="bfloat16"), key=jax.random.key(0))
     else:
         m = build_model(dict(
@@ -66,6 +74,11 @@ def main():
     prompt = jax.numpy.asarray(prompt, jax.numpy.int32)
 
     params = m.params
+    if args.params_dtype == "bf16":
+        params = jax.tree.map(
+            lambda x: x.astype(jax.numpy.bfloat16)
+            if x.dtype == jax.numpy.float32 else x, params)
+        jax.block_until_ready(params)
     if args.weights == "int8":
         params = jax.jit(m.quantize_int8)(params)
         jax.block_until_ready(params)

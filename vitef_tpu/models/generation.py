@@ -271,6 +271,10 @@ def _attention_prefill(params: dict, cfg: TransformerConfig, x, key_mask=None,
 
 def _ffn(params: dict, cfg: TransformerConfig, x):
     cd = cfg.cdtype()
+    if cfg.n_experts:
+        from ..parallel.moe import apply_moe_ffn
+
+        return apply_moe_ffn(params, cfg, x, top_k=cfg.moe_top_k)
     out = _linear(params["fc1"], x, cd)
     if cfg.ffn_type.lower() == "swiglu":
         gate, up = jnp.split(out, 2, axis=-1)

@@ -37,35 +37,42 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def quantize_weight_int8(w, *, channel_axis: int = 1,
+def _scale_shape(w, channel_axis: int | tuple[int, ...]):
+    axes = ((channel_axis,) if isinstance(channel_axis, int)
+            else tuple(channel_axis))
+    return axes, tuple(w.shape[a] if a in axes else 1 for a in range(w.ndim))
+
+
+def quantize_weight_int8(w, *, channel_axis: int | tuple[int, ...] = 1,
                          power_of_two_scales: bool = True) -> dict:
     """Symmetric int8 quantization of a weight matrix.
 
     ``channel_axis`` indexes the OUT-feature axis (1 for ``(in, out)``
     linear weights, 0 for the ``(vocab, emb)`` tied embedding read as a
-    ``(emb → vocab)`` head). Returns ``{"weight": int8, "scale": f32}`` with
-    ``scale`` shaped ``(out,)`` and ``w ≈ weight * scale`` broadcast over
-    ``channel_axis``.
+    ``(emb → vocab)`` head; a TUPLE for stacked weights, e.g. ``(0, 2)``
+    for the MoE ``(n_experts, in, out)`` expert stacks — one scale per
+    (expert, out-column)). Returns ``{"weight": int8, "scale": f32}`` with
+    ``scale`` shaped as the kept axes and ``w ≈ weight * scale`` broadcast
+    over the reduced axes.
     """
     wf = jnp.asarray(w, jnp.float32)
-    reduce_axes = tuple(a for a in range(wf.ndim) if a != channel_axis)
+    axes, shape = _scale_shape(wf, channel_axis)
+    reduce_axes = tuple(a for a in range(wf.ndim) if a not in axes)
     amax = jnp.max(jnp.abs(wf), axis=reduce_axes)
     scale = jnp.maximum(amax / 127.0, 1e-12)
     if power_of_two_scales:
         # exponent shift only: ceil to the next power of two so |q| ≤ 127
         scale = jnp.exp2(jnp.ceil(jnp.log2(scale)))
-    shape = tuple(wf.shape[a] if a == channel_axis else 1
-                  for a in range(wf.ndim))
     q = jnp.round(wf / scale.reshape(shape))
     q = jnp.clip(q, -127, 127).astype(jnp.int8)
     return {"weight": q, "scale": scale}
 
 
-def dequantize_weight(qp: dict, dtype=jnp.float32, *, channel_axis: int = 1):
+def dequantize_weight(qp: dict, dtype=jnp.float32, *,
+                      channel_axis: int | tuple[int, ...] = 1):
     """Materialise ``weight * scale`` (tests / debugging only)."""
     w = qp["weight"].astype(jnp.float32)
-    shape = tuple(w.shape[a] if a == channel_axis else 1
-                  for a in range(w.ndim))
+    _, shape = _scale_shape(w, channel_axis)
     return (w * qp["scale"].reshape(shape)).astype(dtype)
 
 
@@ -102,8 +109,20 @@ def quantize_decode_params(params: dict, *,
         q(bp["attn"], "qkv_mat")
         q(bp["attn"], "output")
         bp["ffn"] = dict(bp["ffn"])
-        q(bp["ffn"], "fc1")
-        q(bp["ffn"], "fc2")
+        if "router" in bp["ffn"]:
+            # MoE block: (n_experts, in, out) expert stacks, one scale per
+            # (expert, out-column) — scales applied after the expert einsum
+            # (parallel/moe._expert_ffn). The router stays full precision
+            # (tiny, and gate numerics are accuracy-sensitive).
+            for k in ("fc1", "fc2"):
+                ql = quantize_weight_int8(bp["ffn"][k]["weight"],
+                                          channel_axis=(0, 2), **kw)
+                if "bias" in bp["ffn"][k]:
+                    ql["bias"] = bp["ffn"][k]["bias"]
+                bp["ffn"][k] = ql
+        else:
+            q(bp["ffn"], "fc1")
+            q(bp["ffn"], "fc2")
     emb = out["embedding"] = dict(params["embedding"])
     tok = emb["token_emb"]
     # (vocab, emb): out-channel axis for the tied head is the vocab axis 0

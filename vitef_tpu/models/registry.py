@@ -169,6 +169,11 @@ def build_model(config: dict[str, Any], key=None, return_config: bool = False):
 
         cfg = build_with_type_check(LlamaConfig, config)
         params, tcfg, name = build_llama(cfg, key)
+    elif impl == "moe":
+        from .moe import MoeConfig, build_moe
+
+        cfg = build_with_type_check(MoeConfig, config)
+        params, tcfg, name = build_moe(cfg, key)
     elif impl == "transformer":
         cfg = build_with_type_check(TransformerConfig, config)
         params = T.init_transformer(key, cfg)

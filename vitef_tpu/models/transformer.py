@@ -103,6 +103,12 @@ class TransformerConfig:
     # 'mlp' = fc1 -> activation -> fc2 (the reference's FeedForward);
     # 'swiglu' = fc1 packs [gate ++ up] (E, 2F), out = silu(gate) * up -> fc2.
     ffn_type: str = "mlp"
+    # n_experts > 0 replaces every block's dense FFN with a mixture of
+    # n_experts expert FFNs of the configured ffn_type behind a softmax
+    # top-k router (Switch/GShard semantics — parallel/moe.py holds the
+    # math and its expert-parallel 'ep' form). 0 = dense (the reference).
+    n_experts: int = 0
+    moe_top_k: int = 2
 
     # Transformer block parameters
     norm: str = "layer"  # batch | layer | rms
@@ -175,6 +181,11 @@ class TransformerConfig:
             self.pos_emb = False
         if self.ffn_type.lower() not in ("mlp", "swiglu"):
             raise ValueError(f"Unknown ffn_type {self.ffn_type!r}")
+        if self.n_experts:
+            if self.n_experts < 0:
+                raise ValueError("n_experts must be >= 0")
+            if not 0 < self.moe_top_k <= self.n_experts:
+                raise ValueError("moe_top_k must be in [1, n_experts]")
 
     # -- helpers --------------------------------------------------------
     @property
@@ -265,10 +276,21 @@ def init_block(key, cfg: TransformerConfig) -> dict:
             "output": _init_linear(keys[1], e, e, cfg.attn_bias),
         },
         "ffn_norm": init_norm(e, cfg.norm_bias, cfg.norm),
-        "ffn": {
-            "fc1": _init_linear(keys[2], e, fc1_out, cfg.ffn_bias),
-            "fc2": _init_linear(keys[3], f, e, cfg.ffn_bias),
-        },
+        "ffn": _init_block_ffn(keys[2], keys[3], cfg, fc1_out),
+    }
+
+
+def _init_block_ffn(k1, k2, cfg: TransformerConfig, fc1_out: int) -> dict:
+    if cfg.n_experts:
+        # Mixture-of-experts FFN (router + stacked expert fc1/fc2). Lazy
+        # import: parallel/moe.py imports this module at its top level.
+        from ..parallel.moe import init_moe_ffn
+
+        return init_moe_ffn(k1, cfg, cfg.n_experts)
+    # dense: identical key usage to the pre-MoE init (bit-exact init parity)
+    return {
+        "fc1": _init_linear(k1, cfg.emb_dim, fc1_out, cfg.ffn_bias),
+        "fc2": _init_linear(k2, cfg.ffn_dim, cfg.emb_dim, cfg.ffn_bias),
     }
 
 
@@ -475,6 +497,28 @@ def _attention_modern(params: dict, cfg: TransformerConfig, x,
         z = fused_mha_packed(qkv, h, causal=cfg.causal)
         return _linear(params["output"], z, cd)
 
+    if (not verbose and cd == jnp.bfloat16
+            and resolve_impl(cfg.attn_impl if cfg.flash else "xla",
+                             seq_len=l, dtype=cd) == "pallas"):
+        # Geometries past the packed kernel's VMEM gate (llama-1b: E=2048 at
+        # L=1024 overflows Mosaic's scoped stack — ops/attention.py budget
+        # comment) keep a TILED kernel instead of falling to the grouped
+        # einsum, which materialises the (N, h, L, L) f32 scores in HBM.
+        from ..ops.attention import flash_attention
+
+        qh = q.reshape(n, l, h, d).transpose(0, 2, 1, 3)
+        kh = k.reshape(n, l, kv, d).transpose(0, 2, 1, 3)
+        vh = v.reshape(n, l, kv, d).transpose(0, 2, 1, 3)
+        if cfg.uses_rope:
+            qh, kh = apply_rope(qh, cos, sin), apply_rope(kh, cos, sin)
+        if kv < h:
+            rep = (lambda t: jnp.broadcast_to(
+                t[:, :, None], (n, kv, h // kv, l, d)).reshape(n, h, l, d))
+            kh, vh = rep(kh), rep(vh)
+        z = flash_attention(qh, kh, vh, causal=cfg.causal, impl="pallas")
+        z = z.transpose(0, 2, 1, 3).reshape(n, l, e)
+        return _linear(params["output"], z, cd)
+
     g = h // kv
     qh = q.reshape(n, l, h, d).transpose(0, 2, 1, 3)
     kh = k.reshape(n, l, kv, d).transpose(0, 2, 1, 3)
@@ -544,14 +588,22 @@ def apply_ffn(params: dict, cfg: TransformerConfig, x, *,
     work, not the extra residual write, and the policy recomputes the erf.
     """
     cd = cfg.cdtype()
-    out = _linear(params["fc1"], x, cd)
-    if cfg.ffn_type.lower() == "swiglu":
-        # fc1 packs [gate ++ up]: silu(gate) * up (llama-family GLU FFN)
-        gate, up = jnp.split(out, 2, axis=-1)
-        out = jax.nn.silu(gate) * up
+    if cfg.n_experts:
+        # MoE block FFN: dense all-experts evaluation (the golden form,
+        # right for single-device expert counts; parallel/moe.py's
+        # apply_moe_ffn_ep is the same math sharded over an 'ep' axis).
+        from ..parallel.moe import apply_moe_ffn
+
+        out = apply_moe_ffn(params, cfg, x, top_k=cfg.moe_top_k)
     else:
-        out = get_activation(cfg.activation)(out)
-    out = _linear(params["fc2"], out, cd)
+        out = _linear(params["fc1"], x, cd)
+        if cfg.ffn_type.lower() == "swiglu":
+            # fc1 packs [gate ++ up]: silu(gate) * up (llama-family GLU FFN)
+            gate, up = jnp.split(out, 2, axis=-1)
+            out = jax.nn.silu(gate) * up
+        else:
+            out = get_activation(cfg.activation)(out)
+        out = _linear(params["fc2"], out, cd)
     if not deterministic and cfg.ffn_dropout > 0:
         out = _dropout(out, cfg.ffn_dropout, rng, deterministic=False)
     return out

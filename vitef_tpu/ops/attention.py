@@ -432,7 +432,13 @@ _packed_mha.defvjp(_packed_mha_fwd, _packed_mha_bwd)
 
 # VMEM budget gate for the packed kernel: the dominant per-program buffers are
 # the (L, 3E) qkv slab (+grad copy in bwd) and one (L, L) f32 score matrix.
-_PACKED_VMEM_BUDGET = 48 * 1024 * 1024
+# The estimate undercounts Mosaic's real scoped stack by ~2.2x (llama-1b
+# E=2048 L=1024 estimates 46.1M here but the forward's scoped allocation is
+# 100.95M vs the 100M limit — a measured compile failure); 44M keeps every
+# geometry that compiles today (max: GPT2-large E=1280 at 33.6M) and routes
+# bigger E to the tiled flash path (models/transformer._attention_modern).
+# (Note: the 1b geometry lands on EXACTLY 44MiB here — 40MiB keeps it out.)
+_PACKED_VMEM_BUDGET = 40 * 1024 * 1024
 
 
 def packed_mha_supported(l: int, e: int, itemsize: int = 2) -> bool:
@@ -545,6 +551,11 @@ def _flash_forward(q, k, v, causal: bool, kv_len: int, block_q: int, block_kv: i
         in_specs=[q_spec, kv_spec, kv_spec],
         out_specs=q_spec,
         out_shape=jax.ShapeDtypeStruct((n, h, lq_pad, d), q.dtype),
+        # Full-L k/v per program is the design (see kernel docstring); at
+        # many-head geometries (llama-1b: h=32, L=1024 → 20M with input
+        # pipelining) that exceeds Mosaic's conservative 16M default.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * h * lq_pad * lk_pad * d,
             bytes_accessed=3 * h * lk_pad * d * q.dtype.itemsize

@@ -177,10 +177,18 @@ def param_shardings(params, mesh: Mesh, fsdp: bool = False):
         name = _path_str(path)
         spec = [None] * leaf.ndim
         if tp > 1:
-            for pat, axis in _TP_RULES:
-                if name.endswith(pat) and leaf.shape[axis] % tp == 0:
-                    spec[axis] = "tp"
-                    break
+            if leaf.ndim == 3 and ".ffn.fc" in name:
+                # stacked MoE expert weights (n_experts, in, out): shard the
+                # EXPERT axis — GSPMD turns the dense all-experts einsums
+                # (parallel/moe.apply_moe_ffn) into per-device expert
+                # partials + one psum at the gate-combine.
+                if leaf.shape[0] % tp == 0:
+                    spec[0] = "tp"
+            else:
+                for pat, axis in _TP_RULES:
+                    if name.endswith(pat) and leaf.shape[axis] % tp == 0:
+                        spec[axis] = "tp"
+                        break
         if fsdp and dp > 1:
             free = tuple(s if spec[i] is None else 0 for i, s in enumerate(leaf.shape))
             ax = _largest_divisible_axis(free, dp)

@@ -39,6 +39,9 @@ def init_moe_ffn(key, cfg: TransformerConfig, n_experts: int) -> dict:
     """Router + per-expert fc1/fc2 stacks (leading (n_experts,) axis — the
     axis 'ep' shards)."""
     e, f = cfg.emb_dim, cfg.ffn_dim
+    # swiglu experts pack [gate ++ up] in fc1, like the dense FFN
+    # (models/transformer.py init_block) — the Mixtral expert recipe.
+    f1 = 2 * f if cfg.ffn_type.lower() == "swiglu" else f
     kr, k1, k2 = jax.random.split(key, 3)
     # torch nn.Linear init parity with models/transformer.py init helpers:
     # U(-1/sqrt(fan_in), 1/sqrt(fan_in)) for weights and biases.
@@ -48,12 +51,12 @@ def init_moe_ffn(key, cfg: TransformerConfig, n_experts: int) -> dict:
 
     params = {
         "router": {"weight": u(kr, (e, n_experts), e)},
-        "fc1": {"weight": u(k1, (n_experts, e, f), e)},
+        "fc1": {"weight": u(k1, (n_experts, e, f1), e)},
         "fc2": {"weight": u(k2, (n_experts, f, e), f)},
     }
     if cfg.ffn_bias:
         kb1, kb2 = jax.random.split(jax.random.fold_in(key, 1))
-        params["fc1"]["bias"] = u(kb1, (n_experts, f), e)
+        params["fc1"]["bias"] = u(kb1, (n_experts, f1), e)
         params["fc2"]["bias"] = u(kb2, (n_experts, e), f)
     return params
 
@@ -78,22 +81,35 @@ def _gates(params, cfg, x, top_k):
     return gate_full, sel
 
 
+def _expert_matmul(p, x, cd, spec):
+    """Stacked expert linear with the int8 weight-only path of
+    models/transformer._linear: int8 streams into the contraction, the
+    per-(expert, out-column) f32 scale multiplies the small output AFTER
+    (exact for the power-of-two scales models/quantize.py emits)."""
+    if p["weight"].dtype == jnp.int8:
+        out = jnp.einsum(spec, x, p["weight"].astype(cd),
+                         precision=best_precision(x),
+                         preferred_element_type=jnp.float32)
+        out = (out * p["scale"][:, None, :]).astype(cd)
+    else:
+        w = p["weight"].astype(cd)
+        out = jnp.einsum(spec, x, w, precision=best_precision(x, w),
+                         preferred_element_type=cd)
+    if "bias" in p:
+        out = out + p["bias"][:, None, :].astype(cd)
+    return out
+
+
 def _expert_ffn(fc1, fc2, cfg: TransformerConfig, x):
     """Per-expert FFN on (E_loc, C, d) batched inputs (fc1/fc2 stacked)."""
     cd = cfg.cdtype()
-    act = get_activation(cfg.activation)
-    h = jnp.einsum("ecd,edf->ecf", x.astype(cd), fc1["weight"].astype(cd),
-                   precision=best_precision(x.astype(cd)),
-                   preferred_element_type=cd)
-    if "bias" in fc1:
-        h = h + fc1["bias"][:, None, :].astype(cd)
-    h = act(h)
-    out = jnp.einsum("ecf,efd->ecd", h, fc2["weight"].astype(cd),
-                     precision=best_precision(h),
-                     preferred_element_type=cd)
-    if "bias" in fc2:
-        out = out + fc2["bias"][:, None, :].astype(cd)
-    return out
+    h = _expert_matmul(fc1, x.astype(cd), cd, "ecd,edf->ecf")
+    if cfg.ffn_type.lower() == "swiglu":
+        gate, up = jnp.split(h, 2, axis=-1)
+        h = jax.nn.silu(gate) * up
+    else:
+        h = get_activation(cfg.activation)(h)
+    return _expert_matmul(fc2, h, cd, "ecf,efd->ecd")
 
 
 def apply_moe_ffn(params: dict, cfg: TransformerConfig, x, *, top_k: int = 1):
