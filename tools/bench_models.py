@@ -126,14 +126,17 @@ def llama_flops(emb, layers, seq, vocab, ffn, kv_dim):
     return 2 * seq * per_tok
 
 
-def bench_llama(batch=16, size="124m"):
+def bench_llama(batch=16, size="124m", implementation="llama"):
     from vitef_tpu.models import build_model
     from vitef_tpu.optim import build_optimizer, build_scheduler
     from vitef_tpu.parallel import init_train_state, make_train_step
 
-    model = build_model(dict(
-        implementation="llama", model_name=size, pretrained=False,
-        seq_len=1024, compute_dtype="bfloat16"), key=jax.random.key(0))
+    build_args = dict(
+        implementation=implementation, model_name=size,
+        seq_len=1024, compute_dtype="bfloat16")
+    if implementation == "llama":
+        build_args["pretrained"] = False
+    model = build_model(build_args, key=jax.random.key(0))
     cfg = model.config
     seq = cfg.seq_len
 
@@ -160,14 +163,24 @@ def bench_llama(batch=16, size="124m"):
     dt = time.perf_counter() - t0
 
     tps = batch * seq * STEPS / dt
+    # MoE: the roofline counts ACTIVATED FLOPs (top_k of n_experts expert
+    # FFNs per token) — the single-chip dense-all-experts evaluation
+    # computes n_experts/top_k x that, so its fraction reads low by design
+    # (the EP path at scale computes only routed tokens).
+    ffn_eff = cfg.ffn_dim * (cfg.moe_top_k if cfg.n_experts else 1)
     roof = detect_peak() / (3 * llama_flops(
-        cfg.emb_dim, cfg.n_layers, seq, cfg.vocab_size, cfg.ffn_dim,
+        cfg.emb_dim, cfg.n_layers, seq, cfg.vocab_size, ffn_eff,
         cfg.kv_dim) / seq)
-    print(json.dumps({
-        "metric": f"llama_{size}_train_throughput", "value": round(tps, 0),
+    out = {
+        "metric": f"{implementation}_{size}_train_throughput",
+        "value": round(tps, 0),
         "unit": "tokens/sec/chip", "batch": batch, "seq": seq,
         "ms_per_step": round(dt / STEPS * 1000, 1),
-        "vs_roofline": round(tps / roof, 4)}), flush=True)
+        "vs_roofline": round(tps / roof, 4)}
+    if cfg.n_experts:
+        out["dense_eval_expert_overhead"] = round(
+            cfg.n_experts / cfg.moe_top_k, 1)
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":
@@ -186,6 +199,11 @@ if __name__ == "__main__":
         bench_gpt2(batch=4, size="large")  # largest single-chip AdamW fit
     if "llama" in which:
         bench_llama(batch=16)  # 124m GQA/rope/swiglu preset at L=1024
+    if "moe" in which:
+        # Mixtral-style 8-expert top-2 on the llama-124m backbone; the
+        # single-chip step evaluates all experts densely (4x activated
+        # FLOPs) — the honest single-chip MoE operating point.
+        bench_llama(batch=8, size="8x124m", implementation="moe")
     if "llama_1b" in which:
         # Llama-3.2-1B AdamW training does NOT fit one 16G v5e chip: the
         # f32 param+m+v state alone is ~18G (measured compile OOM: 24.25G
