@@ -83,13 +83,18 @@ def run(requests: str | None = None, demo: int = 0, model_name: str = "base",
     token ids of a shared system prompt, prefilled once and prefix-cached
     into every admission (``DecodeServer.register_prefix``).
     ``--implementation llama --model_name 1b``: serve the llama GQA family
-    (token-id mode; its 2-4x smaller KV cache is decode's bound)."""
+    (token-id mode; its 2-4x smaller KV cache is decode's bound).
+    ``--implementation moe --model_name 8x124m``: serve the sparse-expert
+    family (token-id mode; single-chip decode evaluates experts densely —
+    exact routing semantics, models/moe.py)."""
     if (requests is None) == (demo == 0):
         raise SystemExit("pass exactly one of --requests or --demo N")
     build_args = dict(
         implementation=implementation, model_name=model_name,
-        pretrained=pretrained, compute_dtype=compute_dtype)
-    if implementation == "llama":
+        compute_dtype=compute_dtype)
+    if implementation != "moe":  # moe ships no pretrained-checkpoint map
+        build_args["pretrained"] = pretrained
+    if implementation in ("llama", "moe"):
         build_args["seq_len"] = max_len  # cap the rope/cache length
     model = build_model(build_args, key=jax.random.key(seed))
     if quantize is not None:

@@ -249,3 +249,45 @@ def test_llama_serve_cli(monkeypatch, capsys, tmp_path):
                    jnp.asarray([[3, 1, 4, 1, 5]], jnp.int32), 4,
                    temperature=0.0)
     assert lines[0]["tokens"] == [int(t) for t in np.asarray(ref[0])]
+
+
+def test_moe_serve_cli(monkeypatch, capsys, tmp_path):
+    """--implementation moe: the serve CLI drives the sparse-expert family
+    through the same DecodeServer (token-id mode; the CLI drops the
+    pretrained flag — MoE ships no checkpoint map — and caps seq_len to
+    max_len like llama)."""
+    import json
+    import sys
+
+    reqs = tmp_path / "requests.jsonl"
+    reqs.write_text("\n".join(json.dumps(r) for r in [
+        {"token_ids": [3, 1, 4, 1, 5], "max_new_tokens": 4},
+        {"token_ids": [9, 2, 6], "max_new_tokens": 3},
+    ]))
+    monkeypatch.setattr(sys, "argv", [
+        "serve", "run", "--requests", str(reqs), "--n_slots", "2",
+        "--max_len", "32", "--bucket", "8", "--temperature", "0.0",
+        "--implementation", "moe", "--model_name", "tiny",
+        "--compute_dtype", "float32"])
+    from apps.gpt2.serve import main
+
+    main()
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()
+             if l.strip().startswith("{")]
+    assert [r["id"] for r in lines] == [0, 1]
+    assert [len(r["tokens"]) for r in lines] == [4, 3]
+
+    # greedy parity with standalone generate() on the identically-built model
+    import jax
+    import jax.numpy as jnp
+
+    from vitef_tpu.models import build_model
+    from vitef_tpu.models.generation import generate
+
+    model = build_model(dict(implementation="moe", model_name="tiny",
+                             compute_dtype="float32", seq_len=32),
+                        key=jax.random.key(0))
+    ref = generate(model.params, model.config,
+                   jnp.asarray([[3, 1, 4, 1, 5]], jnp.int32), 4,
+                   temperature=0.0)
+    assert lines[0]["tokens"] == [int(t) for t in np.asarray(ref[0])]
