@@ -126,7 +126,8 @@ def llama_flops(emb, layers, seq, vocab, ffn, kv_dim):
     return 2 * seq * per_tok
 
 
-def bench_llama(batch=16, size="124m", implementation="llama"):
+def bench_llama(batch=16, size="124m", implementation="llama",
+                moe_impl="auto"):
     from vitef_tpu.models import build_model
     from vitef_tpu.optim import build_optimizer, build_scheduler
     from vitef_tpu.parallel import init_train_state, make_train_step
@@ -136,6 +137,8 @@ def bench_llama(batch=16, size="124m", implementation="llama"):
         seq_len=1024, compute_dtype="bfloat16")
     if implementation == "llama":
         build_args["pretrained"] = False
+    if implementation == "moe":
+        build_args["moe_impl"] = moe_impl
     model = build_model(build_args, key=jax.random.key(0))
     cfg = model.config
     seq = cfg.seq_len
@@ -200,10 +203,17 @@ if __name__ == "__main__":
     if "llama" in which:
         bench_llama(batch=16)  # 124m GQA/rope/swiglu preset at L=1024
     if "moe" in which:
-        # Mixtral-style 8-expert top-2 on the llama-124m backbone; the
-        # single-chip step evaluates all experts densely (4x activated
-        # FLOPs) — the honest single-chip MoE operating point.
+        # Mixtral-style 8-expert top-2 on the llama-124m backbone through
+        # the sorted dropless sparse dispatch (megablox grouped matmul —
+        # activated FLOPs only, parallel/moe.apply_moe_ffn_sparse).
         bench_llama(batch=8, size="8x124m", implementation="moe")
+    if "moe_b16" in which:
+        bench_llama(batch=16, size="8x124m", implementation="moe")
+    if "moe_dense" in which:
+        # the gate-masked all-experts form (n_experts/top_k x the activated
+        # FLOPs) — the pre-sparse-dispatch operating point, kept for A/B.
+        bench_llama(batch=8, size="8x124m", implementation="moe",
+                    moe_impl="dense")
     if "llama_1b" in which:
         # Llama-3.2-1B AdamW training does NOT fit one 16G v5e chip: the
         # f32 param+m+v state alone is ~18G (measured compile OOM: 24.25G

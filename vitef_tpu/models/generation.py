@@ -272,8 +272,14 @@ def _attention_prefill(params: dict, cfg: TransformerConfig, x, key_mask=None,
 def _ffn(params: dict, cfg: TransformerConfig, x):
     cd = cfg.cdtype()
     if cfg.n_experts:
-        from ..parallel.moe import apply_moe_ffn
+        from ..parallel.moe import (apply_moe_ffn, apply_moe_ffn_sparse,
+                                    resolve_moe_impl)
 
+        if resolve_moe_impl(cfg, params) == "sparse":
+            # decode is weight-HBM-bound: the grouped matmul streams only
+            # the selected experts' weight tiles (~top_k/n_experts of the
+            # dense path's traffic at small batch).
+            return apply_moe_ffn_sparse(params, cfg, x, top_k=cfg.moe_top_k)
         return apply_moe_ffn(params, cfg, x, top_k=cfg.moe_top_k)
     out = _linear(params["fc1"], x, cd)
     if cfg.ffn_type.lower() == "swiglu":

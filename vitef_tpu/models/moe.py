@@ -49,6 +49,7 @@ class MoeConfig:
     compute_dtype: str = "float32"
     attn_impl: str = "auto"
     norm_impl: str = "auto"
+    moe_impl: str = "auto"  # auto | dense | sparse (parallel/moe.py)
     remat: bool = False
 
 
@@ -84,6 +85,7 @@ def moe_transformer_config(cfg: MoeConfig) -> TransformerConfig:
         compute_dtype=cfg.compute_dtype,
         attn_impl=cfg.attn_impl,
         norm_impl=cfg.norm_impl,
+        moe_impl=cfg.moe_impl,
         remat=cfg.remat,
     )
     return TransformerConfig(**args)

@@ -132,6 +132,10 @@ class TransformerConfig:
     compute_dtype: str = "float32"  # activation dtype: float32 | bfloat16
     attn_impl: str = "auto"  # auto | pallas | xla
     norm_impl: str = "auto"
+    # MoE FFN form: sparse = sorted dropless dispatch + grouped matmul
+    # (activated FLOPs/weight-traffic only), dense = all-experts gate-masked
+    # oracle. auto = sparse on a single-device TPU (parallel/moe.py).
+    moe_impl: str = "auto"  # auto | dense | sparse
     remat: bool = False  # jax.checkpoint each block (HBM↔FLOPs trade)
 
     # Derived (filled in __post_init__)
@@ -589,12 +593,18 @@ def apply_ffn(params: dict, cfg: TransformerConfig, x, *,
     """
     cd = cfg.cdtype()
     if cfg.n_experts:
-        # MoE block FFN: dense all-experts evaluation (the golden form,
-        # right for single-device expert counts; parallel/moe.py's
+        # MoE block FFN. 'sparse' = sorted dropless dispatch through the
+        # megablox grouped matmul (activated FLOPs only — the single-chip
+        # TPU operating point); 'dense' = gate-masked all-experts oracle
+        # (also the GSPMD/int8/bias form; parallel/moe.py's
         # apply_moe_ffn_ep is the same math sharded over an 'ep' axis).
-        from ..parallel.moe import apply_moe_ffn
+        from ..parallel.moe import (apply_moe_ffn, apply_moe_ffn_sparse,
+                                    resolve_moe_impl)
 
-        out = apply_moe_ffn(params, cfg, x, top_k=cfg.moe_top_k)
+        if resolve_moe_impl(cfg, params) == "sparse":
+            out = apply_moe_ffn_sparse(params, cfg, x, top_k=cfg.moe_top_k)
+        else:
+            out = apply_moe_ffn(params, cfg, x, top_k=cfg.moe_top_k)
     else:
         out = _linear(params["fc1"], x, cd)
         if cfg.ffn_type.lower() == "swiglu":

@@ -64,8 +64,9 @@ def init_moe_ffn(key, cfg: TransformerConfig, n_experts: int) -> dict:
 def _gates(params, cfg, x, top_k):
     """(tokens, E) fp32 router probabilities, top-k selected and renormalised.
 
-    Returns (gate_full, sel) where ``gate_full`` is (T, n_experts) with
-    zeros outside each token's top-k and ``sel`` the (T, top_k) expert ids.
+    Returns (gate_full, sel, top_p) where ``gate_full`` is (T, n_experts)
+    with zeros outside each token's top-k, ``sel`` the (T, top_k) expert ids
+    and ``top_p`` the renormalised (T, top_k) gate weights.
     """
     logits = jnp.einsum(
         "te,en->tn", x.astype(jnp.float32),
@@ -78,7 +79,7 @@ def _gates(params, cfg, x, top_k):
     n_experts = probs.shape[-1]
     onehot = jax.nn.one_hot(sel, n_experts, dtype=jnp.float32)  # (T, k, E)
     gate_full = jnp.einsum("tk,tke->te", top_p, onehot)
-    return gate_full, sel
+    return gate_full, sel, top_p
 
 
 def _expert_matmul(p, x, cd, spec):
@@ -119,13 +120,138 @@ def apply_moe_ffn(params: dict, cfg: TransformerConfig, x, *, top_k: int = 1):
     tiny expert counts."""
     shape = x.shape
     xt = x.reshape(-1, shape[-1])
-    gate, _ = _gates(params, cfg, xt, top_k)
+    gate, _, _ = _gates(params, cfg, xt, top_k)
     # (E, T, d) all-experts evaluation
     outs = _expert_ffn(params["fc1"], params["fc2"], cfg,
                        jnp.broadcast_to(xt, (gate.shape[1], *xt.shape)))
     out = jnp.einsum("te,etd->td", gate.astype(outs.dtype), outs,
                      precision=best_precision(outs),
                      preferred_element_type=outs.dtype)
+    return out.reshape(shape).astype(x.dtype)
+
+
+@jax.custom_vjp
+def _permute_rows(x, perm, inv):
+    """``x[perm]`` for a PERMUTATION ``perm`` with a gather-only transpose.
+
+    Plain ``jnp.take`` differentiates to a scatter-add (XLA can't see that
+    ``perm`` is bijective); for a permutation the cotangent is exactly
+    ``g[inv]`` — another gather, which TPUs execute at memory speed.
+    """
+    return jnp.take(x, perm, axis=0)
+
+
+def _permute_rows_fwd(x, perm, inv):
+    return jnp.take(x, perm, axis=0), (perm, inv)
+
+
+def _permute_rows_bwd(res, g):
+    _, inv = res
+    return jnp.take(g, inv, axis=0), None, None
+
+
+_permute_rows.defvjp(_permute_rows_fwd, _permute_rows_bwd)
+
+
+def resolve_moe_impl(cfg: TransformerConfig, params: dict) -> str:
+    """Resolve the MoE FFN implementation for a single-device evaluation.
+
+    ``sparse`` (sorted dropless dispatch + megablox grouped matmul) computes
+    only the top-k experts' FLOPs per token and streams only the selected
+    experts' weights — the win for both train (FLOPs) and decode (HBM).
+    ``dense`` evaluates every expert with a gate mask — the numerics oracle
+    and the only form with an SPMD story (the tp expert-axis GSPMD rule) and
+    an int8/bias path.
+
+    'auto' mirrors ops.common.resolve_impl: the pallas grouped-matmul kernel
+    has no partitioning rule, so it is only picked on a single-device TPU
+    backend (multi-chip goes through dense-under-GSPMD or the explicit
+    ep/shard_map path).
+    """
+    impl = getattr(cfg, "moe_impl", "auto")
+    if impl not in ("auto", "dense", "sparse"):
+        raise ValueError(f"unknown moe_impl {impl!r}; choose auto/dense/sparse")
+    fc1 = params["fc1"]
+    unsupported = fc1["weight"].dtype == jnp.int8 or "bias" in fc1
+    if impl == "sparse":
+        if unsupported:
+            raise ValueError(
+                "moe_impl='sparse' supports bf16/f32 bias-free experts only "
+                "(int8-quantized or biased expert stacks use 'dense')")
+        return "sparse"
+    if impl == "auto":
+        if unsupported:
+            return "dense"
+        if jax.default_backend() != "tpu" or jax.device_count() > 1:
+            return "dense"
+        return "sparse"
+    return "dense"
+
+
+def apply_moe_ffn_sparse(params: dict, cfg: TransformerConfig, x, *,
+                         top_k: int = 1, tiling=(128, 128, 128)):
+    """Dropless sparse MoE FFN: sorted dispatch + grouped matmul.
+
+    Same semantics as :func:`apply_moe_ffn` (every token's top-k experts are
+    evaluated, NO capacity drops) at the ACTIVATED FLOP count instead of the
+    all-experts one — the single-chip operating point for real expert counts
+    (the dense form computes ``n_experts/top_k``× the useful expert FLOPs).
+
+    TPU-native structure (Megablocks recipe on the MXU):
+
+      1. expand tokens to their k claims (token-major), stable-argsort the
+         claim expert ids — each expert's tokens become one CONTIGUOUS row
+         group (permutation gathers only; the custom VJP keeps the transpose
+         a gather too, no scatter-add anywhere),
+      2. ``megablox.gmm`` fc1/fc2 over the row groups: a pallas grouped
+         matmul that tiles rows (tm=128) and loads ONLY the owning expert's
+         weight tiles per row tile — FLOPs and weight HBM traffic both scale
+         with top-k, not n_experts (decode at small batch reads just the
+         selected experts' weights),
+      3. un-sort and gate-combine per token ('tk,tkd->td').
+
+    Rows are padded to the 128-row tile; pad rows are appended to the LAST
+    expert's group with zero inputs and a sliced-off output, so they
+    contribute exactly zero forward and backward.
+    """
+    shape = x.shape
+    cd = cfg.cdtype()
+    xt = x.reshape(-1, shape[-1])
+    t_tokens, d = xt.shape
+    n_experts = params["fc1"]["weight"].shape[0]
+    _, sel, top_p = _gates(params, cfg, xt, top_k)  # (T, k) ids + gates
+
+    flat_ids = sel.reshape(-1)  # token-major claims: row t*k + j
+    perm = jnp.argsort(flat_ids)  # stable: (token, j) order within an expert
+    inv = jnp.argsort(perm)
+    g_rows = t_tokens * top_k
+    tm = tiling[0]
+    g_pad = (g_rows + tm - 1) // tm * tm
+    group_sizes = jnp.bincount(flat_ids, length=n_experts).astype(jnp.int32)
+    group_sizes = group_sizes.at[n_experts - 1].add(g_pad - g_rows)
+
+    xe = jnp.repeat(xt.astype(cd), top_k, axis=0)  # (G, d) token-major
+    xs = _permute_rows(xe, perm, inv)
+    if g_pad != g_rows:
+        xs = jnp.concatenate(
+            [xs, jnp.zeros((g_pad - g_rows, d), xs.dtype)], axis=0)
+
+    from jax.experimental.pallas.ops.tpu.megablox import ops as _mb
+
+    w1 = params["fc1"]["weight"].astype(cd)  # (E, d, f1)
+    h = _mb.gmm(xs, w1, group_sizes, cd, tiling)
+    if cfg.ffn_type.lower() == "swiglu":
+        hg, hu = jnp.split(h, 2, axis=-1)
+        h = jax.nn.silu(hg) * hu
+    else:
+        h = get_activation(cfg.activation)(h)
+    w2 = params["fc2"]["weight"].astype(cd)  # (E, f, d)
+    ys = _mb.gmm(h, w2, group_sizes, cd, tiling)[:g_rows]
+    ye = _permute_rows(ys, inv, perm)  # back to token-major claims
+    out = jnp.einsum("tk,tkd->td", top_p.astype(cd),
+                     ye.reshape(t_tokens, top_k, d),
+                     precision=best_precision(ye),
+                     preferred_element_type=cd)
     return out.reshape(shape).astype(x.dtype)
 
 
@@ -151,7 +277,7 @@ def apply_moe_ffn_ep(params: dict, cfg: TransformerConfig, x, *,
     n_experts = ep * e_loc
     if capacity is None:
         capacity = t_loc  # lossless default
-    gate, sel = _gates(params, cfg, x, top_k)  # (T, E), (T, k)
+    gate, sel, _ = _gates(params, cfg, x, top_k)  # (T, E), (T, k)
 
     # Position of each (token, k) claim inside its expert's capacity buffer:
     # rank among same-expert claims in (k-major, token) order.
