@@ -167,9 +167,8 @@ def bench_llama(batch=16, size="124m", implementation="llama",
 
     tps = batch * seq * STEPS / dt
     # MoE: the roofline counts ACTIVATED FLOPs (top_k of n_experts expert
-    # FFNs per token) — the single-chip dense-all-experts evaluation
-    # computes n_experts/top_k x that, so its fraction reads low by design
-    # (the EP path at scale computes only routed tokens).
+    # FFNs per token): what the sparse dispatch actually executes, and what
+    # the dense all-experts form pays n_experts/top_k x for.
     ffn_eff = cfg.ffn_dim * (cfg.moe_top_k if cfg.n_experts else 1)
     roof = detect_peak() / (3 * llama_flops(
         cfg.emb_dim, cfg.n_layers, seq, cfg.vocab_size, ffn_eff,
@@ -181,8 +180,12 @@ def bench_llama(batch=16, size="124m", implementation="llama",
         "ms_per_step": round(dt / STEPS * 1000, 1),
         "vs_roofline": round(tps / roof, 4)}
     if cfg.n_experts:
-        out["dense_eval_expert_overhead"] = round(
-            cfg.n_experts / cfg.moe_top_k, 1)
+        from vitef_tpu.parallel import resolve_moe_impl
+
+        out["moe_impl"] = resolve_moe_impl(cfg, model.params)
+        if out["moe_impl"] == "dense":
+            out["dense_eval_expert_overhead"] = round(
+                cfg.n_experts / cfg.moe_top_k, 1)
     print(json.dumps(out), flush=True)
 
 

@@ -28,6 +28,8 @@ compute dtype.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -130,6 +132,32 @@ def apply_moe_ffn(params: dict, cfg: TransformerConfig, x, *, top_k: int = 1):
     return out.reshape(shape).astype(x.dtype)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _dispatch_rows(x, src, inv, top_k):
+    """Fused expand-and-sort dispatch gather: ``x[src]`` for (T, d) tokens.
+
+    ``src[g] = perm[g] // top_k`` maps each sorted claim row directly to its
+    source token, fusing the k-way ``jnp.repeat`` into the dispatch gather
+    (no (G, d) token-major claim buffer is ever materialised). The custom
+    VJP keeps the transpose gather-shaped: un-sort the cotangent with
+    ``inv`` and sum each token's k claim rows — no scatter-add.
+    """
+    return jnp.take(x, src, axis=0)
+
+
+def _dispatch_rows_fwd(x, src, inv, top_k):
+    return jnp.take(x, src, axis=0), (inv,)
+
+
+def _dispatch_rows_bwd(top_k, res, g):
+    (inv,) = res
+    gt = jnp.take(g, inv, axis=0)  # token-major claims (T*k, d)
+    return gt.reshape(-1, top_k, g.shape[-1]).sum(axis=1), None, None
+
+
+_dispatch_rows.defvjp(_dispatch_rows_fwd, _dispatch_rows_bwd)
+
+
 @jax.custom_vjp
 def _permute_rows(x, perm, inv):
     """``x[perm]`` for a PERMUTATION ``perm`` with a gather-only transpose.
@@ -188,8 +216,76 @@ def resolve_moe_impl(cfg: TransformerConfig, params: dict) -> str:
     return "dense"
 
 
+def _mb_backend():
+    import importlib
+
+    return importlib.import_module(
+        "jax.experimental.pallas.ops.tpu.megablox.gmm")
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _gmm(lhs, rhs, group_sizes, dtype, t_fwd, t_dx, t_dw):
+    """megablox gmm with PER-PASS tilings.
+
+    The stock ``megablox.ops.gmm`` custom VJP reuses the forward tiling for
+    both backward kernels, but the three passes have different shapes —
+    forward (G,k)@(E,k,n), dx (G,n)@(E,n,k) on the transposed weight,
+    dw (k,G)@(G,n) grouped — and v5e-measured optima differ per pass (the
+    (128,128,128) default runs them ALL at ~10 TF/s, 5x off; tuned they hit
+    150-163 TF/s on the 8x124m step). ``t_dx`` uses normal-gmm roles on the
+    swapped dims; ``t_dw``'s (tgmm) are (G-rows — must divide the padded
+    row count, k, n).
+    """
+    return _mb_backend().gmm(lhs, rhs, group_sizes, dtype, t_fwd)
+
+
+def _gmm_fwd(lhs, rhs, group_sizes, dtype, t_fwd, t_dx, t_dw):
+    out = _mb_backend().gmm(lhs, rhs, group_sizes, dtype, t_fwd)
+    return out, (lhs, rhs, group_sizes)
+
+
+def _gmm_bwd(dtype, t_fwd, t_dx, t_dw, res, g):
+    lhs, rhs, group_sizes = res
+    b = _mb_backend()
+    # dx as a NORMAL gmm on an explicitly transposed weight: transpose_rhs
+    # reads strided (k, n-tile) slabs of the k-major weight and measured
+    # 80 TF/s vs the contiguous form's 159 on the 8x124m step — one
+    # (E, k, n) transpose per weight per step (~0.07 ms) buys the fast
+    # layout for all m-tiles.
+    dlhs = b.gmm(g, rhs.swapaxes(1, 2), group_sizes, lhs.dtype, t_dx)
+    drhs = b.tgmm(lhs.swapaxes(0, 1), g, group_sizes, rhs.dtype, t_dw,
+                  num_actual_groups=rhs.shape[0])
+    return dlhs, drhs, None
+
+
+_gmm.defvjp(_gmm_fwd, _gmm_bwd)
+
+
+def _sparse_tilings(g_rows, k, n):
+    """v5e-tuned (t_fwd, t_dx, t_dw) for one expert matmul (G,k)@(E,k,n).
+
+    Measured at the 8x124m step shapes (G=16k: d=768, f1=4096, f=2048 —
+    52/34/41 and 33/24/33 TF/s vs ~10 at the (128,128,128) default); the
+    min() clamps keep the rules legal for other geometries. Small row counts
+    (decode) keep small tiles: fewer wasted pad rows, and the weight-tile
+    streaming (only the selected experts' tiles are read) is the win there,
+    not MXU utilisation.
+    """
+    if g_rows < 4096:
+        t = (128, min(k, 512), min(n, 512))
+        return t, (128, min(n, 512), min(k, 512)), (128, min(k, 512),
+                                                    min(n, 512))
+    def fwd_rule(k_, n_):
+        return (1024 if n_ >= 1024 else 512, min(k_, 1024), min(n_, 1024))
+    t_fwd = fwd_rule(k, n)
+    t_dx = fwd_rule(n, k)  # dx is a normal gmm on the transposed weight
+    t_dw = (256 if n >= 1024 else 1024,
+            min(k, 1024) if k <= 1024 else 512, min(n, 1024))
+    return t_fwd, t_dx, t_dw
+
+
 def apply_moe_ffn_sparse(params: dict, cfg: TransformerConfig, x, *,
-                         top_k: int = 1, tiling=(128, 128, 128)):
+                         top_k: int = 1):
     """Dropless sparse MoE FFN: sorted dispatch + grouped matmul.
 
     Same semantics as :func:`apply_moe_ffn` (every token's top-k experts are
@@ -203,50 +299,61 @@ def apply_moe_ffn_sparse(params: dict, cfg: TransformerConfig, x, *,
          claim expert ids — each expert's tokens become one CONTIGUOUS row
          group (permutation gathers only; the custom VJP keeps the transpose
          a gather too, no scatter-add anywhere),
-      2. ``megablox.gmm`` fc1/fc2 over the row groups: a pallas grouped
-         matmul that tiles rows (tm=128) and loads ONLY the owning expert's
-         weight tiles per row tile — FLOPs and weight HBM traffic both scale
-         with top-k, not n_experts (decode at small batch reads just the
-         selected experts' weights),
+      2. ``megablox`` grouped matmuls for fc1/fc2 over the row groups, with
+         per-pass v5e-tuned tilings (:func:`_sparse_tilings` — the stock
+         shared-tiling VJP leaves 4-5x on the floor); each row tile loads
+         ONLY the owning expert's weight tiles, so FLOPs and weight HBM
+         traffic both scale with top-k, not n_experts (decode at small
+         batch reads just the selected experts' weights),
       3. un-sort and gate-combine per token ('tk,tkd->td').
 
-    Rows are padded to the 128-row tile; pad rows are appended to the LAST
-    expert's group with zero inputs and a sliced-off output, so they
+    Rows are padded to the row-tile multiple; pad rows are appended to the
+    LAST expert's group with zero inputs and a sliced-off output, so they
     contribute exactly zero forward and backward.
     """
     shape = x.shape
     cd = cfg.cdtype()
     xt = x.reshape(-1, shape[-1])
     t_tokens, d = xt.shape
-    n_experts = params["fc1"]["weight"].shape[0]
+    n_experts, _, f1 = params["fc1"]["weight"].shape
+    f = params["fc2"]["weight"].shape[1]
     _, sel, top_p = _gates(params, cfg, xt, top_k)  # (T, k) ids + gates
 
     flat_ids = sel.reshape(-1)  # token-major claims: row t*k + j
     perm = jnp.argsort(flat_ids)  # stable: (token, j) order within an expert
-    inv = jnp.argsort(perm)
     g_rows = t_tokens * top_k
-    tm = tiling[0]
+    # inv by scatter, not a second argsort: inv[perm[g]] = g. A 1-D int
+    # scatter-set with unique indices vs a full (G,) sort (~0.24 ms each on
+    # the 8x124m step's 32k rows, 12 of them per step).
+    inv = jnp.zeros_like(perm).at[perm].set(
+        jnp.arange(g_rows, dtype=perm.dtype), unique_indices=True)
+    t1 = _sparse_tilings(g_rows, d, f1)
+    t2 = _sparse_tilings(g_rows, f, d)
+    # every row-tile size in play must divide the padded row count
+    tm = max(t1[0][0], t2[0][0], t1[1][0], t2[1][0], t1[2][0], t2[2][0])
     g_pad = (g_rows + tm - 1) // tm * tm
     group_sizes = jnp.bincount(flat_ids, length=n_experts).astype(jnp.int32)
     group_sizes = group_sizes.at[n_experts - 1].add(g_pad - g_rows)
 
-    xe = jnp.repeat(xt.astype(cd), top_k, axis=0)  # (G, d) token-major
-    xs = _permute_rows(xe, perm, inv)
+    # Sorted claim row g reads token perm[g] // top_k straight from x —
+    # repeat and sort fused into ONE gather. Pad rows re-read token 0:
+    # their forward output is sliced off and their backward cotangent is
+    # the zero-padding of that slice's transpose, so the value is inert.
+    src = perm // top_k
     if g_pad != g_rows:
-        xs = jnp.concatenate(
-            [xs, jnp.zeros((g_pad - g_rows, d), xs.dtype)], axis=0)
-
-    from jax.experimental.pallas.ops.tpu.megablox import ops as _mb
+        src = jnp.concatenate(
+            [src, jnp.zeros((g_pad - g_rows,), src.dtype)])
+    xs = _dispatch_rows(xt.astype(cd), src, inv, top_k)
 
     w1 = params["fc1"]["weight"].astype(cd)  # (E, d, f1)
-    h = _mb.gmm(xs, w1, group_sizes, cd, tiling)
+    h = _gmm(xs, w1, group_sizes, cd, *t1)
     if cfg.ffn_type.lower() == "swiglu":
         hg, hu = jnp.split(h, 2, axis=-1)
         h = jax.nn.silu(hg) * hu
     else:
         h = get_activation(cfg.activation)(h)
     w2 = params["fc2"]["weight"].astype(cd)  # (E, f, d)
-    ys = _mb.gmm(h, w2, group_sizes, cd, tiling)[:g_rows]
+    ys = _gmm(h, w2, group_sizes, cd, *t2)[:g_rows]
     ye = _permute_rows(ys, inv, perm)  # back to token-major claims
     out = jnp.einsum("tk,tkd->td", top_p.astype(cd),
                      ye.reshape(t_tokens, top_k, d),
