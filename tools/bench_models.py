@@ -182,7 +182,8 @@ def bench_llama(batch=16, size="124m", implementation="llama",
     if cfg.n_experts:
         from vitef_tpu.parallel import resolve_moe_impl
 
-        out["moe_impl"] = resolve_moe_impl(cfg, model.params)
+        out["moe_impl"] = resolve_moe_impl(
+            cfg, model.params["blocks"][0]["ffn"], batch * seq)
         if out["moe_impl"] == "dense":
             out["dense_eval_expert_overhead"] = round(
                 cfg.n_experts / cfg.moe_top_k, 1)

@@ -43,10 +43,16 @@ def main():
                     help="int8 = weight-only quantization (models/quantize.py)"
                          " — the lever for low-batch, weight-bandwidth-bound"
                          " decode")
-    ap.add_argument("--family", default="gpt2", choices=["gpt2", "llama"],
+    ap.add_argument("--family", default="gpt2",
+                    choices=["gpt2", "llama", "moe"],
                     help="llama = GQA presets (fewer kv heads than q heads:"
                          " the cache — decode's bound — shrinks by the group"
-                         " factor at the same parameter scale)")
+                         " factor at the same parameter scale); moe = the"
+                         " sparse-expert family (8x124m | tiny)")
+    ap.add_argument("--moe_impl", default="auto",
+                    choices=["auto", "dense", "sparse"],
+                    help="MoE FFN form at decode: sparse streams only the"
+                         " selected experts' weights (the small-batch win)")
     ap.add_argument("--model_name", default="124m",
                     help="llama preset (124m | 1b | tiny); gpt2 is fixed")
     ap.add_argument("--params_dtype", default="keep",
@@ -61,6 +67,13 @@ def main():
             implementation="llama", model_name=args.model_name,
             pretrained=False,
             seq_len=1024, compute_dtype="bfloat16"), key=jax.random.key(0))
+    elif args.family == "moe":
+        m = build_model(dict(
+            implementation="moe",
+            model_name=args.model_name if args.model_name != "124m"
+            else "8x124m",
+            seq_len=1024, compute_dtype="bfloat16",
+            moe_impl=args.moe_impl), key=jax.random.key(0))
     else:
         m = build_model(dict(
             implementation="transformer", vocab_size=50257, emb_type="dict",

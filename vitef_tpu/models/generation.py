@@ -275,10 +275,12 @@ def _ffn(params: dict, cfg: TransformerConfig, x):
         from ..parallel.moe import (apply_moe_ffn, apply_moe_ffn_sparse,
                                     resolve_moe_impl)
 
-        if resolve_moe_impl(cfg, params) == "sparse":
-            # decode is weight-HBM-bound: the grouped matmul streams only
-            # the selected experts' weight tiles (~top_k/n_experts of the
-            # dense path's traffic at small batch).
+        n_tokens = x.size // x.shape[-1]
+        if resolve_moe_impl(cfg, params, n_tokens) == "sparse":
+            # batch-1 decode is weight-HBM-bound: the grouped matmul streams
+            # only the selected experts' weight tiles. Mid-size decode
+            # batches resolve to dense — all experts get claims anyway and
+            # the per-tick dispatch glue loses (measured, resolve_moe_impl).
             return apply_moe_ffn_sparse(params, cfg, x, top_k=cfg.moe_top_k)
         return apply_moe_ffn(params, cfg, x, top_k=cfg.moe_top_k)
     out = _linear(params["fc1"], x, cd)

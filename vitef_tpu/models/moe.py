@@ -44,6 +44,9 @@ class MoeConfig:
     seq_len: int | None = None  # cap the cache/pos length below the preset
     n_experts: int | None = None  # override the preset's expert count
     moe_top_k: int | None = None
+    # router aux-loss coefficients (0 = off): Switch load-balance + z-loss
+    moe_lb_coef: float = 0.0
+    moe_z_coef: float = 0.0
 
     # TPU knobs
     compute_dtype: str = "float32"
@@ -86,6 +89,8 @@ def moe_transformer_config(cfg: MoeConfig) -> TransformerConfig:
         attn_impl=cfg.attn_impl,
         norm_impl=cfg.norm_impl,
         moe_impl=cfg.moe_impl,
+        moe_lb_coef=cfg.moe_lb_coef,
+        moe_z_coef=cfg.moe_z_coef,
         remat=cfg.remat,
     )
     return TransformerConfig(**args)

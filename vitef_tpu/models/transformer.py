@@ -109,6 +109,12 @@ class TransformerConfig:
     # math and its expert-parallel 'ep' form). 0 = dense (the reference).
     n_experts: int = 0
     moe_top_k: int = 2
+    # Router auxiliary-loss coefficients (parallel/moe.router_aux): Switch
+    # load-balance (Mixtral ships 0.02) and ST-MoE z-loss (1e-3 typical).
+    # Consumed by parallel/train_step.make_train_step via
+    # apply(..., return_moe_aux=True); 0.0 = off.
+    moe_lb_coef: float = 0.0
+    moe_z_coef: float = 0.0
 
     # Transformer block parameters
     norm: str = "layer"  # batch | layer | rms
@@ -578,7 +584,8 @@ def apply_attention(params: dict, cfg: TransformerConfig, x, *,
 
 
 def apply_ffn(params: dict, cfg: TransformerConfig, x, *,
-              deterministic: bool = True, rng=None):
+              deterministic: bool = True, rng=None,
+              aux_out: dict | None = None):
     """fc1 → activation → fc2 → dropout (architecture.py:281-299).
 
     Kept as 3-D einsums: flattening to (N·L, ·) 2-D matmuls was A/B-measured
@@ -599,12 +606,15 @@ def apply_ffn(params: dict, cfg: TransformerConfig, x, *,
         # (also the GSPMD/int8/bias form; parallel/moe.py's
         # apply_moe_ffn_ep is the same math sharded over an 'ep' axis).
         from ..parallel.moe import (apply_moe_ffn, apply_moe_ffn_sparse,
-                                    resolve_moe_impl)
+                                    resolve_moe_impl, router_aux)
 
-        if resolve_moe_impl(cfg, params) == "sparse":
+        n_tokens = x.size // x.shape[-1]
+        if resolve_moe_impl(cfg, params, n_tokens) == "sparse":
             out = apply_moe_ffn_sparse(params, cfg, x, top_k=cfg.moe_top_k)
         else:
             out = apply_moe_ffn(params, cfg, x, top_k=cfg.moe_top_k)
+        if aux_out is not None:
+            aux_out["moe_aux"] = router_aux(params, cfg, x, cfg.moe_top_k)
     else:
         out = _linear(params["fc1"], x, cd)
         if cfg.ffn_type.lower() == "swiglu":
@@ -636,15 +646,18 @@ def _norm(params, cfg: TransformerConfig, x, deterministic: bool = True,
 
 def apply_block(params: dict, cfg: TransformerConfig, x, *,
                 deterministic: bool = True, rng=None, verbose: bool = False,
-                collect_stats: bool = False):
+                collect_stats: bool = False, collect_moe_aux: bool = False):
     """Pre-/post-norm transformer block (architecture.py:369-380).
 
     ``collect_stats=True`` additionally returns the block's train-mode
     batch-norm batch statistics ``{"attn_norm": ..., "ffn_norm": ...}`` as an
     explicit output (explicit so the block stays a pure function under
-    ``jax.checkpoint``).
+    ``jax.checkpoint``). ``collect_moe_aux=True`` adds the differentiable
+    router auxiliary losses (``{"moe_aux": {"lb", "z"}}`` — see
+    parallel/moe.router_aux) to the same explicit collector output.
     """
-    stats: dict | None = {} if collect_stats else None
+    stats: dict | None = {} if (collect_stats or collect_moe_aux) else None
+    aux_out = stats if collect_moe_aux else None
     r1 = r2 = None
     if rng is not None:
         r1, r2 = jax.random.split(rng)
@@ -652,27 +665,29 @@ def apply_block(params: dict, cfg: TransformerConfig, x, *,
     if cfg.pre_norm:
         out = apply_attention(params["attn"], cfg,
                               _norm(params["attn_norm"], cfg, x, deterministic,
-                                    stats, "attn_norm"),
+                                    stats if collect_stats else None, "attn_norm"),
                               deterministic=deterministic, rng=r1, verbose=verbose)
         if verbose:
             out, att = out
         out = x + out
         out = out + apply_ffn(params["ffn"], cfg,
                               _norm(params["ffn_norm"], cfg, out, deterministic,
-                                    stats, "ffn_norm"),
-                              deterministic=deterministic, rng=r2)
+                                    stats if collect_stats else None, "ffn_norm"),
+                              deterministic=deterministic, rng=r2,
+                              aux_out=aux_out)
     else:
         out = apply_attention(params["attn"], cfg, x,
                               deterministic=deterministic, rng=r1, verbose=verbose)
         if verbose:
             out, att = out
         out = _norm(params["attn_norm"], cfg, x + out, deterministic,
-                    stats, "attn_norm")
+                    stats if collect_stats else None, "attn_norm")
         out = _norm(params["ffn_norm"], cfg,
                     out + apply_ffn(params["ffn"], cfg, out,
-                                    deterministic=deterministic, rng=r2),
-                    deterministic, stats, "ffn_norm")
-    if collect_stats:
+                                    deterministic=deterministic, rng=r2,
+                                    aux_out=aux_out),
+                    deterministic, stats if collect_stats else None, "ffn_norm")
+    if stats is not None:
         return (out, att, stats) if verbose else (out, stats)
     if verbose:
         return out, att
@@ -717,7 +732,7 @@ def apply_output(params: dict, cfg: TransformerConfig, x, *, emb_params=None,
 
 def apply_transformer(params: dict, cfg: TransformerConfig, x, *,
                       deterministic: bool = True, rng=None, verbose: bool = False,
-                      return_stats: bool = False):
+                      return_stats: bool = False, return_moe_aux: bool = False):
     """Full forward (architecture.py:824-854). ``verbose=True`` additionally returns
     the stacked (n_layers, N, h, L, L) attention matrices.
 
@@ -728,8 +743,10 @@ def apply_transformer(params: dict, cfg: TransformerConfig, x, *,
     layer/rms norms. Mutually exclusive with ``verbose``.
     """
     collect = return_stats and not deterministic and cfg.norm.lower() == "batch"
-    if return_stats and verbose:
-        raise ValueError("return_stats and verbose are mutually exclusive")
+    collect_aux = bool(return_moe_aux and cfg.n_experts)
+    if (return_stats or return_moe_aux) and verbose:
+        raise ValueError("return_stats/return_moe_aux and verbose are "
+                         "mutually exclusive")
     n_rngs = cfg.n_layers + 2
     rngs = [None] * n_rngs
     if rng is not None and not deterministic:
@@ -743,21 +760,26 @@ def apply_transformer(params: dict, cfg: TransformerConfig, x, *,
         @jax.checkpoint
         def block_fn(bp, out, rng):
             return apply_block(bp, cfg, out, deterministic=deterministic,
-                               rng=rng, verbose=False, collect_stats=collect)
+                               rng=rng, verbose=False, collect_stats=collect,
+                               collect_moe_aux=collect_aux)
     else:
         def block_fn(bp, out, rng):
             return apply_block(bp, cfg, out, deterministic=deterministic,
-                               rng=rng, verbose=verbose, collect_stats=collect)
+                               rng=rng, verbose=verbose, collect_stats=collect,
+                               collect_moe_aux=collect_aux)
     attentions = []
     all_stats: dict = {}
+    block_aux: list = []
     for i, bp in enumerate(params["blocks"]):
         out = block_fn(bp, out, rngs[1 + i])
-        if collect:
+        if collect or collect_aux:
             if verbose:
                 out, att, bstats = out
                 attentions.append(att)
             else:
                 out, bstats = out
+            if collect_aux:
+                block_aux.append(bstats.pop("moe_aux"))
             for key, val in bstats.items():
                 all_stats[f"blocks.{i}.{key}"] = val
         elif verbose:
@@ -768,6 +790,15 @@ def apply_transformer(params: dict, cfg: TransformerConfig, x, *,
                        stats_out=all_stats if collect else None)
     if verbose:
         out = (out, jnp.stack(attentions))
+    if return_moe_aux:
+        # per-block mean — the Switch/ST-MoE convention for stacking blocks
+        moe_aux = {
+            k: (jnp.mean(jnp.stack([a[k] for a in block_aux]))
+                if block_aux else jnp.zeros((), jnp.float32))
+            for k in ("lb", "z")}
+        if return_stats:
+            return out, all_stats, moe_aux
+        return out, moe_aux
     if return_stats:
         return out, all_stats
     return out

@@ -25,6 +25,7 @@ from .moe import (  # noqa: F401
     init_moe_ffn,
     moe_param_shardings,
     resolve_moe_impl,
+    router_aux,
 )
 from .sequence import (  # noqa: F401
     apply_transformer_sp,

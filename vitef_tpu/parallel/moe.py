@@ -84,6 +84,40 @@ def _gates(params, cfg, x, top_k):
     return gate_full, sel, top_p
 
 
+def router_aux(params: dict, cfg: TransformerConfig, x, top_k: int) -> dict:
+    """Differentiable router auxiliary losses for one MoE block.
+
+    Implementation-independent (computed straight from the router logits —
+    XLA CSEs the duplicate (T,d)@(d,E) einsum against the dispatch path's):
+
+      - ``lb``: Switch/Mixtral load-balancing loss
+        ``E * sum_e mean_t[frac of top-k picks on e] * mean_t[prob_e]`` —
+        1.0 when perfectly balanced, up to E when collapsed onto one expert.
+        Gradient flows through the softmax means (the count factor is the
+        standard stop-grad-by-construction indicator).
+      - ``z``: ST-MoE router z-loss ``mean_t logsumexp(logits_t)^2`` —
+        keeps router logits small/stable in bf16 training.
+
+    Weighted into the train loss by ``TransformerConfig.moe_lb_coef`` /
+    ``moe_z_coef`` (see parallel/train_step.py).
+    """
+    xt = x.reshape(-1, x.shape[-1])
+    logits = jnp.einsum(
+        "te,en->tn", xt.astype(jnp.float32),
+        params["router"]["weight"].astype(jnp.float32),
+        precision=best_precision(xt.astype(jnp.float32)),
+        preferred_element_type=jnp.float32)
+    n_experts = logits.shape[-1]
+    probs = jax.nn.softmax(logits, axis=-1)
+    _, sel = jax.lax.top_k(probs, top_k)  # (T, k)
+    counts = jnp.sum(jax.nn.one_hot(sel, n_experts, dtype=jnp.float32),
+                     axis=(0, 1))  # (E,) picks per expert
+    frac = counts / (sel.shape[0] * top_k)
+    lb = n_experts * jnp.sum(frac * jnp.mean(probs, axis=0))
+    z = jnp.mean(jax.nn.logsumexp(logits, axis=-1) ** 2)
+    return {"lb": lb, "z": z}
+
+
 def _expert_matmul(p, x, cd, spec):
     """Stacked expert linear with the int8 weight-only path of
     models/transformer._linear: int8 streams into the contraction, the
@@ -181,20 +215,29 @@ def _permute_rows_bwd(res, g):
 _permute_rows.defvjp(_permute_rows_fwd, _permute_rows_bwd)
 
 
-def resolve_moe_impl(cfg: TransformerConfig, params: dict) -> str:
+def resolve_moe_impl(cfg: TransformerConfig, params: dict,
+                     n_tokens: int | None = None) -> str:
     """Resolve the MoE FFN implementation for a single-device evaluation.
 
     ``sparse`` (sorted dropless dispatch + megablox grouped matmul) computes
     only the top-k experts' FLOPs per token and streams only the selected
-    experts' weights — the win for both train (FLOPs) and decode (HBM).
-    ``dense`` evaluates every expert with a gate mask — the numerics oracle
-    and the only form with an SPMD story (the tp expert-axis GSPMD rule) and
-    an int8/bias path.
+    experts' weights. ``dense`` evaluates every expert with a gate mask —
+    the numerics oracle and the only form with an SPMD story (the tp
+    expert-axis GSPMD rule) and an int8/bias path.
 
     'auto' mirrors ops.common.resolve_impl: the pallas grouped-matmul kernel
     has no partitioning rule, so it is only picked on a single-device TPU
     backend (multi-chip goes through dense-under-GSPMD or the explicit
-    ep/shard_map path).
+    ep/shard_map path). ``n_tokens`` (the trace-time token count) picks the
+    regime — v5e-measured on 8x124m top-2:
+
+      - claims <= n_experts/2: weight-streaming decode (batch-1: sparse 811
+        vs dense 545 tok/s — only the selected experts' weights are read),
+      - claims >= 4096: compute-bound train/prefill (sparse 65.7k vs dense
+        14.4k tok/s at b16 train — activated FLOPs only),
+      - in between: DENSE. All experts get claims anyway (no traffic
+        saving) and the per-tick dispatch glue loses: measured decode b4
+        1.7k sparse vs 2.4k dense, b64 7.9k vs 8.7k, b256 42.3k vs 47.3k.
     """
     impl = getattr(cfg, "moe_impl", "auto")
     if impl not in ("auto", "dense", "sparse"):
@@ -212,6 +255,11 @@ def resolve_moe_impl(cfg: TransformerConfig, params: dict) -> str:
             return "dense"
         if jax.default_backend() != "tpu" or jax.device_count() > 1:
             return "dense"
+        if n_tokens is not None:
+            n_experts = fc1["weight"].shape[0]
+            claims = n_tokens * cfg.moe_top_k
+            if claims > max(2, n_experts // 2) and claims < 4096:
+                return "dense"
         return "sparse"
     return "dense"
 

@@ -66,6 +66,7 @@ def make_train_step(
     stats_momentum: float = 0.1,
     mesh: Any = None,
     block_grad_norms: bool = False,
+    moe_aux_coefs: tuple | None = None,
 ):
     """Build the jitted train step ``(state, batch, rng) -> (state, metrics)``.
 
@@ -86,28 +87,48 @@ def make_train_step(
     (``apply_fn(..., return_stats=True)``), the EMA chains across grad-acc
     microbatches (per-forward updates, like the reference's per-microbatch
     forward passes), and the result is written back into ``state.params``.
+
+    ``moe_aux_coefs=(lb_coef, z_coef)`` (MoE families) adds the router
+    load-balance and z losses (parallel/moe.router_aux) to the task loss
+    and surfaces their raw values as ``moe_lb`` / ``moe_z`` metrics;
+    averaged across grad-acc microbatches and pmean'd over 'dp' like the
+    loss. Pass ``(cfg.moe_lb_coef, cfg.moe_z_coef)`` when nonzero.
     """
     from ..models.norms import ema_update_stats, extract_running_stats, \
         merge_running_stats
     from ..optim import global_grad_norm
 
+    if moe_aux_coefs is not None and update_stats:
+        raise ValueError("moe_aux_coefs and update_stats are mutually "
+                         "exclusive (no batch-norm MoE family)")
+
     def loss_of(params, x, y, rng):
         # Train mode unconditionally (deterministic=False): batch norm must use
         # batch statistics even when no rng is passed (rng only gates dropout,
         # and all dropout applications guard on rate > 0).
+        if moe_aux_coefs is not None:
+            # MoE router auxiliary losses (parallel/moe.router_aux): the
+            # load-balance and z terms join the task loss, and their raw
+            # values surface in the step metrics.
+            c_lb, c_z = moe_aux_coefs
+            logits, aux = apply_fn(params, x, deterministic=False, rng=rng,
+                                   return_moe_aux=True)
+            loss = loss_fn(logits, y) + c_lb * aux["lb"] + c_z * aux["z"]
+            return loss, ({}, {"moe_lb": aux["lb"], "moe_z": aux["z"]})
         if update_stats:
             logits, stats = apply_fn(params, x, deterministic=False, rng=rng,
                                      return_stats=True)
-            return loss_fn(logits, y), stats
+            return loss_fn(logits, y), (stats, {})
         logits = apply_fn(params, x, deterministic=False, rng=rng)
-        return loss_fn(logits, y), {}
+        return loss_fn(logits, y), ({}, {})
 
     grad_fn = jax.value_and_grad(loss_of, has_aux=True)
 
     def compute_grads(params, running, x, y, rng):
         if grad_acc_steps == 1:
-            (loss, stats), grads = grad_fn(params, x, y, rng)
-            return loss, grads, ema_update_stats(running, stats, stats_momentum)
+            (loss, (stats, moem)), grads = grad_fn(params, x, y, rng)
+            return loss, grads, \
+                ema_update_stats(running, stats, stats_momentum), moem
         micro = x.shape[0] // grad_acc_steps
         xs = x.reshape(grad_acc_steps, micro, *x.shape[1:])
         ys = y.reshape(grad_acc_steps, micro, *y.shape[1:])
@@ -124,24 +145,27 @@ def make_train_step(
         # regression the auto-microbatch split removes). The scan IS the
         # memory fence; do not "optimize" it away.
         def body(carry, inp):
-            loss_acc, grads_acc, run = carry
+            loss_acc, grads_acc, run, moem_acc = carry
             xi, yi, ri = inp
-            (loss, stats), grads = grad_fn(params, xi, yi,
-                                           ri if rng is not None else None)
+            (loss, (stats, moem)), grads = grad_fn(params, xi, yi,
+                                                   ri if rng is not None else None)
             grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
             run = ema_update_stats(run, stats, stats_momentum)
-            return (loss_acc + loss, grads_acc, run), None
+            moem_acc = jax.tree.map(jnp.add, moem_acc, moem)
+            return (loss_acc + loss, grads_acc, run, moem_acc), None
 
         zero = jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32), params)
         run0 = jax.tree.map(lambda s: s.astype(jnp.float32), running)
-        (loss_sum, grads_sum, running), _ = jax.lax.scan(
-            body, (jnp.zeros(()), zero, run0), (xs, ys, rngs)
+        moem0 = ({"moe_lb": jnp.zeros(()), "moe_z": jnp.zeros(())}
+                 if moe_aux_coefs is not None else {})
+        (loss_sum, grads_sum, running, moem_sum), _ = jax.lax.scan(
+            body, (jnp.zeros(()), zero, run0, moem0), (xs, ys, rngs)
         )
         scale = 1.0 / grad_acc_steps
         return loss_sum * scale, jax.tree.map(lambda g: g * scale, grads_sum), \
-            running
+            running, jax.tree.map(lambda m: m * scale, moem_sum)
 
-    def update_from_grads(state, loss, grads, running):
+    def update_from_grads(state, loss, grads, running, moem=None):
         grad_norm = global_grad_norm(grads, trainable)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
@@ -149,6 +173,8 @@ def make_train_step(
             params = merge_running_stats(params, running)
         step = state.step + 1
         metrics = {"loss": loss, "grad_norm": grad_norm}
+        if moem:
+            metrics.update(moem)
         if block_grad_norms and isinstance(grads, dict) and "blocks" in grads:
             # Per-block gradient norms computed on device inside the step
             # (BASELINE.json north star: no host round-trips); a handful of
@@ -164,8 +190,9 @@ def make_train_step(
     def train_step(state: TrainState, batch, rng=None):
         x, y = batch
         running = extract_running_stats(state.params) if update_stats else {}
-        loss, grads, running = compute_grads(state.params, running, x, y, rng)
-        return update_from_grads(state, loss, grads, running)
+        loss, grads, running, moem = compute_grads(
+            state.params, running, x, y, rng)
+        return update_from_grads(state, loss, grads, running, moem)
 
     if mesh is None:
         return jax.jit(train_step, donate_argnums=(0,) if donate else ())
@@ -192,14 +219,17 @@ def make_train_step(
         # shard index), like independent DDP replicas on disjoint data.
         rng = jax.random.fold_in(rng, jax.lax.axis_index("dp"))
         running = extract_running_stats(state.params) if update_stats else {}
-        loss, grads, running = compute_grads(state.params, running, x, y, rng)
+        loss, grads, running, moem = compute_grads(
+            state.params, running, x, y, rng)
         loss = jax.lax.pmean(loss, "dp")
         grads = jax.lax.pmean(grads, "dp")
+        if moem:
+            moem = jax.lax.pmean(moem, "dp")
         if update_stats:
             # Synced batch-norm statistics: unsynced per-shard EMAs would
             # diverge the replicated params across devices.
             running = jax.lax.pmean(running, "dp")
-        return update_from_grads(state, loss, grads, running)
+        return update_from_grads(state, loss, grads, running, moem)
 
     sharded = shard_map(
         per_shard,
