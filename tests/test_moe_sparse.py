@@ -132,3 +132,49 @@ def test_sparse_greedy_decode_matches_dense():
     with pltpu.force_tpu_interpret_mode():
         out_s = generate(ms.params, ms.config, prompts, max_new_tokens=6)
     np.testing.assert_array_equal(np.asarray(out_d), np.asarray(out_s))
+
+
+def test_sparse_dp_shard_map_matches_single_device():
+    """Multi-chip DP keeps the grouped-matmul kernel: a dp=4 shard_map
+    train step with moe_impl='sparse' (explicit — 'auto' resolves dense
+    off-TPU/multi-device) matches the single-device sparse step: same loss,
+    same updated params. Mirrors the packed-MHA shard_map rationale — a
+    pallas_call has no SPMD partitioning rule, so pjit cannot ride it, but
+    per-device execution under shard_map can.
+
+    dp=4 on a submesh, NOT the full 8-device mesh: interpret-mode gmm
+    blocks a host thread per device and deadlocks the CPU client at 8
+    concurrent programs (probed at dp∈{2,4,8}: 2/4 pass, 8 hangs with the
+    process at 0% CPU — a CI-interpreter thread-pool limit, not a product
+    bug; real TPUs run the kernel on-chip)."""
+    from vitef_tpu.ops import next_token_cross_entropy as lm_loss
+    from vitef_tpu.optim import build_optimizer
+    from vitef_tpu.parallel import (build_mesh, init_train_state,
+                                    make_train_step, shard_batch,
+                                    shard_params)
+
+    m = build_model(dict(implementation="moe", model_name="tiny",
+                         moe_impl="sparse", attn_impl="xla",
+                         norm_impl="xla"), key=jax.random.key(0))
+    cfg = m.config
+    toks = jnp.asarray(np.random.default_rng(11).integers(
+        0, cfg.vocab_size, size=(8, 16)), jnp.int32)
+
+    def run(mesh):
+        tx, _ = build_optimizer({"optimizer": "sgd", "lr": 0.05,
+                                 "momentum": 0.9})
+        step = make_train_step(m.apply, tx, loss_fn=lm_loss, donate=False,
+                               mesh=mesh)
+        p = m.params if mesh is None else shard_params(m.params, mesh)
+        b = (toks, toks) if mesh is None else shard_batch((toks, toks), mesh)
+        state = init_train_state(p, tx)
+        with pltpu.force_tpu_interpret_mode():
+            state, metrics = step(state, b)
+        return jax.tree.leaves(state.params), float(metrics["loss"])
+
+    single_leaves, loss_single = run(None)
+    dp_leaves, loss_dp = run(
+        build_mesh(dp=4, tp=1, devices=jax.devices()[:4]))
+    assert np.allclose(loss_single, loss_dp, atol=1e-5)
+    for a, b in zip(single_leaves, dp_leaves):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
