@@ -606,15 +606,21 @@ def apply_ffn(params: dict, cfg: TransformerConfig, x, *,
         # (also the GSPMD/int8/bias form; parallel/moe.py's
         # apply_moe_ffn_ep is the same math sharded over an 'ep' axis).
         from ..parallel.moe import (apply_moe_ffn, apply_moe_ffn_sparse,
-                                    resolve_moe_impl, router_aux)
+                                    resolve_moe_impl)
 
         n_tokens = x.size // x.shape[-1]
+        # The aux losses are filled from the dispatch path's OWN router
+        # forward (parallel/moe._route) — shared by construction, not by
+        # XLA CSE (which remat or precision drift could break).
+        moe_aux: dict | None = {} if aux_out is not None else None
         if resolve_moe_impl(cfg, params, n_tokens) == "sparse":
-            out = apply_moe_ffn_sparse(params, cfg, x, top_k=cfg.moe_top_k)
+            out = apply_moe_ffn_sparse(params, cfg, x, top_k=cfg.moe_top_k,
+                                       aux=moe_aux)
         else:
-            out = apply_moe_ffn(params, cfg, x, top_k=cfg.moe_top_k)
+            out = apply_moe_ffn(params, cfg, x, top_k=cfg.moe_top_k,
+                                aux=moe_aux)
         if aux_out is not None:
-            aux_out["moe_aux"] = router_aux(params, cfg, x, cfg.moe_top_k)
+            aux_out["moe_aux"] = moe_aux
     else:
         out = _linear(params["fc1"], x, cd)
         if cfg.ffn_type.lower() == "swiglu":

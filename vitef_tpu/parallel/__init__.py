@@ -21,6 +21,7 @@ from .pipeline import (  # noqa: F401
 from .moe import (  # noqa: F401
     apply_moe_ffn,
     apply_moe_ffn_ep,
+    apply_moe_ffn_ep_sparse,
     apply_moe_ffn_sparse,
     init_moe_ffn,
     moe_param_shardings,

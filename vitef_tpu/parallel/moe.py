@@ -63,12 +63,41 @@ def init_moe_ffn(key, cfg: TransformerConfig, n_experts: int) -> dict:
     return params
 
 
-def _gates(params, cfg, x, top_k):
-    """(tokens, E) fp32 router probabilities, top-k selected and renormalised.
+def _router_topk(probs, top_k: int):
+    """``lax.top_k`` semantics (ties → lower index first) without the full
+    per-row variadic sort for the router's small-E case.
 
-    Returns (gate_full, sel, top_p) where ``gate_full`` is (T, n_experts)
-    with zeros outside each token's top-k, ``sel`` the (T, top_k) expert ids
-    and ``top_p`` the renormalised (T, top_k) gate weights.
+    ``lax.top_k`` on TPU lowers to a per-row sort; for the (T, n_experts)
+    router with n_experts ≤ 16 and k ≤ 4, k unrolled argmax+mask passes are
+    pure vectorized VPU work. ``argmax`` returns the LOWEST index of a tied
+    maximum and the mask removes exactly that index, so repeated ties come
+    out in ascending-index order — identical to ``lax.top_k``'s tie order.
+    Gradients match too: the value reads are gathers at the selected indices.
+    """
+    n = probs.shape[-1]
+    if top_k >= n or n > 16 or top_k > 4:
+        return jax.lax.top_k(probs, top_k)
+    iota = jnp.arange(n, dtype=jnp.int32)
+    vals, idxs = [], []
+    p = probs
+    for _ in range(top_k):
+        i = jnp.argmax(p, axis=-1).astype(jnp.int32)
+        vals.append(jnp.take_along_axis(p, i[..., None], axis=-1)[..., 0])
+        idxs.append(i)
+        # softmax probs are positive; -1 beats masking with -inf (stays finite)
+        p = jnp.where(iota == i[..., None], jnp.float32(-1.0), p)
+    return jnp.stack(vals, axis=-1), jnp.stack(idxs, axis=-1)
+
+
+def _route(params, cfg, x, top_k):
+    """fp32 router forward shared by dispatch AND the auxiliary losses.
+
+    Returns ``(logits, probs, sel, top_p)`` for (T, d) tokens: raw fp32
+    logits, softmax probabilities, the (T, top_k) selected expert ids and
+    the renormalised (T, top_k) gate weights. The aux losses are computed
+    from THESE tensors (``router_aux_from_route``), so they provably share
+    the dispatch path's routing — no reliance on XLA CSE de-duplicating a
+    second router einsum (which remat or precision drift could break).
     """
     logits = jnp.einsum(
         "te,en->tn", x.astype(jnp.float32),
@@ -76,19 +105,27 @@ def _gates(params, cfg, x, top_k):
         precision=best_precision(x.astype(jnp.float32)),
         preferred_element_type=jnp.float32)
     probs = jax.nn.softmax(logits, axis=-1)
-    top_p, sel = jax.lax.top_k(probs, top_k)  # (T, k)
+    top_p, sel = _router_topk(probs, top_k)  # (T, k)
     top_p = top_p / jnp.sum(top_p, axis=-1, keepdims=True)
+    return logits, probs, sel, top_p
+
+
+def _gates(params, cfg, x, top_k):
+    """(tokens, E) fp32 router probabilities, top-k selected and renormalised.
+
+    Returns (gate_full, sel, top_p) where ``gate_full`` is (T, n_experts)
+    with zeros outside each token's top-k, ``sel`` the (T, top_k) expert ids
+    and ``top_p`` the renormalised (T, top_k) gate weights.
+    """
+    logits, probs, sel, top_p = _route(params, cfg, x, top_k)
     n_experts = probs.shape[-1]
     onehot = jax.nn.one_hot(sel, n_experts, dtype=jnp.float32)  # (T, k, E)
     gate_full = jnp.einsum("tk,tke->te", top_p, onehot)
     return gate_full, sel, top_p
 
 
-def router_aux(params: dict, cfg: TransformerConfig, x, top_k: int) -> dict:
-    """Differentiable router auxiliary losses for one MoE block.
-
-    Implementation-independent (computed straight from the router logits —
-    XLA CSEs the duplicate (T,d)@(d,E) einsum against the dispatch path's):
+def router_aux_from_route(logits, probs, sel) -> dict:
+    """Differentiable router auxiliary losses from a shared router forward.
 
       - ``lb``: Switch/Mixtral load-balancing loss
         ``E * sum_e mean_t[frac of top-k picks on e] * mean_t[prob_e]`` —
@@ -101,21 +138,23 @@ def router_aux(params: dict, cfg: TransformerConfig, x, top_k: int) -> dict:
     Weighted into the train loss by ``TransformerConfig.moe_lb_coef`` /
     ``moe_z_coef`` (see parallel/train_step.py).
     """
-    xt = x.reshape(-1, x.shape[-1])
-    logits = jnp.einsum(
-        "te,en->tn", xt.astype(jnp.float32),
-        params["router"]["weight"].astype(jnp.float32),
-        precision=best_precision(xt.astype(jnp.float32)),
-        preferred_element_type=jnp.float32)
     n_experts = logits.shape[-1]
-    probs = jax.nn.softmax(logits, axis=-1)
-    _, sel = jax.lax.top_k(probs, top_k)  # (T, k)
     counts = jnp.sum(jax.nn.one_hot(sel, n_experts, dtype=jnp.float32),
                      axis=(0, 1))  # (E,) picks per expert
-    frac = counts / (sel.shape[0] * top_k)
+    frac = counts / (sel.shape[0] * sel.shape[1])
     lb = n_experts * jnp.sum(frac * jnp.mean(probs, axis=0))
     z = jnp.mean(jax.nn.logsumexp(logits, axis=-1) ** 2)
     return {"lb": lb, "z": z}
+
+
+def router_aux(params: dict, cfg: TransformerConfig, x, top_k: int) -> dict:
+    """Standalone aux-loss entry point (tests / external callers): one router
+    forward through the SAME ``_route`` the dispatch paths use. Inside the
+    model, ``apply_moe_ffn*`` fill their ``aux`` collector from their own
+    routing instead (one einsum by construction, not by CSE)."""
+    xt = x.reshape(-1, x.shape[-1])
+    logits, probs, sel, _ = _route(params, cfg, xt, top_k)
+    return router_aux_from_route(logits, probs, sel)
 
 
 def _expert_matmul(p, x, cd, spec):
@@ -149,14 +188,21 @@ def _expert_ffn(fc1, fc2, cfg: TransformerConfig, x):
     return _expert_matmul(fc2, h, cd, "ecf,efd->ecd")
 
 
-def apply_moe_ffn(params: dict, cfg: TransformerConfig, x, *, top_k: int = 1):
+def apply_moe_ffn(params: dict, cfg: TransformerConfig, x, *, top_k: int = 1,
+                  aux: dict | None = None):
     """Dense golden MoE FFN on (..., E) inputs: every expert evaluates every
     token; the gate mask zeroes the unselected ones. O(n_experts) FLOPs — the
     numerics oracle for the EP path, and the right single-device form for
-    tiny expert counts."""
+    tiny expert counts. ``aux`` (a dict collector) receives the router
+    auxiliary losses computed from this call's OWN routing."""
     shape = x.shape
     xt = x.reshape(-1, shape[-1])
-    gate, _, _ = _gates(params, cfg, xt, top_k)
+    logits, probs, sel, top_p = _route(params, cfg, xt, top_k)
+    n_experts = probs.shape[-1]
+    onehot = jax.nn.one_hot(sel, n_experts, dtype=jnp.float32)  # (T, k, E)
+    gate = jnp.einsum("tk,tke->te", top_p, onehot)
+    if aux is not None:
+        aux.update(router_aux_from_route(logits, probs, sel))
     # (E, T, d) all-experts evaluation
     outs = _expert_ffn(params["fc1"], params["fc2"], cfg,
                        jnp.broadcast_to(xt, (gate.shape[1], *xt.shape)))
@@ -192,6 +238,36 @@ def _dispatch_rows_bwd(top_k, res, g):
 _dispatch_rows.defvjp(_dispatch_rows_fwd, _dispatch_rows_bwd)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _combine_rows(ys, inv, src, top_k):
+    """Un-sort + per-token k-claim sum in ONE fused gather-reduce.
+
+    ``ys`` is the (G, d) SORTED, gate-pre-scaled claim outputs; ``inv`` maps
+    token-major claim g to its sorted row; the result is the (T, d) output
+    ``out[t] = Σ_j ys[inv[t·k+j]]``. Replaces the round-3 two-op form
+    (permutation gather → (T,k,d) reshape → 'tk,tkd->td' einsum): one pass
+    over the activation set instead of two, and no (T,k) gate operand.
+
+    The transpose is a single gather — ``d ys[j] = dout[src[j]]`` where
+    ``src[j] = perm[j] // top_k`` is the claim's source token (the same map
+    the dispatch gather uses) — no scatter-add anywhere.
+    """
+    ye = jnp.take(ys, inv, axis=0)  # token-major claims (T*k, d)
+    return ye.reshape(-1, top_k, ys.shape[-1]).sum(axis=1)
+
+
+def _combine_rows_fwd(ys, inv, src, top_k):
+    return _combine_rows(ys, inv, src, top_k), (src,)
+
+
+def _combine_rows_bwd(top_k, res, g):
+    (src,) = res
+    return jnp.take(g, src, axis=0), None, None
+
+
+_combine_rows.defvjp(_combine_rows_fwd, _combine_rows_bwd)
+
+
 @jax.custom_vjp
 def _permute_rows(x, perm, inv):
     """``x[perm]`` for a PERMUTATION ``perm`` with a gather-only transpose.
@@ -204,11 +280,11 @@ def _permute_rows(x, perm, inv):
 
 
 def _permute_rows_fwd(x, perm, inv):
-    return jnp.take(x, perm, axis=0), (perm, inv)
+    return jnp.take(x, perm, axis=0), (inv,)
 
 
 def _permute_rows_bwd(res, g):
-    _, inv = res
+    (inv,) = res
     return jnp.take(g, inv, axis=0), None, None
 
 
@@ -216,7 +292,8 @@ _permute_rows.defvjp(_permute_rows_fwd, _permute_rows_bwd)
 
 
 def resolve_moe_impl(cfg: TransformerConfig, params: dict,
-                     n_tokens: int | None = None) -> str:
+                     n_tokens: int | None = None,
+                     n_devices: int | None = None) -> str:
     """Resolve the MoE FFN implementation for a single-device evaluation.
 
     ``sparse`` (sorted dropless dispatch + megablox grouped matmul) computes
@@ -228,8 +305,13 @@ def resolve_moe_impl(cfg: TransformerConfig, params: dict,
     'auto' mirrors ops.common.resolve_impl: the pallas grouped-matmul kernel
     has no partitioning rule, so it is only picked on a single-device TPU
     backend (multi-chip goes through dense-under-GSPMD or the explicit
-    ep/shard_map path). ``n_tokens`` (the trace-time token count) picks the
-    regime — v5e-measured on 8x124m top-2:
+    ep/shard_map path). ``n_devices`` overrides the host-visible
+    ``jax.device_count()`` for that gate: a single-DEVICE jit on a
+    multi-chip host, or a per-device program under shard_map (where the
+    kernel IS legal), should pass 1 — the host-wide count is only the safe
+    default, not the devices the program actually uses. ``n_tokens`` (the
+    trace-time token count) picks the regime — v5e-measured on 8x124m
+    top-2:
 
       - claims <= n_experts/2: weight-streaming decode (batch-1: sparse 811
         vs dense 545 tok/s — only the selected experts' weights are read),
@@ -253,7 +335,9 @@ def resolve_moe_impl(cfg: TransformerConfig, params: dict,
     if impl == "auto":
         if unsupported:
             return "dense"
-        if jax.default_backend() != "tpu" or jax.device_count() > 1:
+        if n_devices is None:
+            n_devices = jax.device_count()
+        if jax.default_backend() != "tpu" or n_devices > 1:
             return "dense"
         if n_tokens is not None:
             n_experts = fc1["weight"].shape[0]
@@ -332,8 +416,33 @@ def _sparse_tilings(g_rows, k, n):
     return t_fwd, t_dx, t_dw
 
 
+def _counting_sort(flat_ids, n_experts: int):
+    """Stable counting sort of (G,) small-int expert ids → (perm, inv,
+    group_sizes) without ``argsort``.
+
+    The round-3 dispatch paid a full (G,) variadic argsort (~0.24 ms × 12
+    layers on the 8x124m step) to sort 3-bit keys. With n_experts small, a
+    rank-by-cumsum counting sort is pure vectorized work: one (G, E) int32
+    occupancy matrix, one cumsum down the rows, one scatter-set.
+    ``inv[g] = offset[id[g]] + (# earlier claims on the same expert)`` is the
+    stable sorted position; ``perm`` is its inverse (scatter of arange).
+    """
+    g_rows = flat_ids.shape[0]
+    occ = (flat_ids[:, None]
+           == jnp.arange(n_experts, dtype=flat_ids.dtype)).astype(jnp.int32)
+    cum = jnp.cumsum(occ, axis=0)  # inclusive per-expert running count
+    group_sizes = cum[-1]  # (E,)
+    offsets = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(group_sizes)[:-1]])
+    rank = jnp.sum((cum - occ) * occ, axis=1)  # exclusive rank in own expert
+    inv = (jnp.take(offsets, flat_ids) + rank).astype(jnp.int32)
+    perm = jnp.zeros((g_rows,), jnp.int32).at[inv].set(
+        jnp.arange(g_rows, dtype=jnp.int32), unique_indices=True)
+    return perm, inv, group_sizes
+
+
 def apply_moe_ffn_sparse(params: dict, cfg: TransformerConfig, x, *,
-                         top_k: int = 1):
+                         top_k: int = 1, aux: dict | None = None):
     """Dropless sparse MoE FFN: sorted dispatch + grouped matmul.
 
     Same semantics as :func:`apply_moe_ffn` (every token's top-k experts are
@@ -343,21 +452,29 @@ def apply_moe_ffn_sparse(params: dict, cfg: TransformerConfig, x, *,
 
     TPU-native structure (Megablocks recipe on the MXU):
 
-      1. expand tokens to their k claims (token-major), stable-argsort the
-         claim expert ids — each expert's tokens become one CONTIGUOUS row
-         group (permutation gathers only; the custom VJP keeps the transpose
-         a gather too, no scatter-add anywhere),
+      1. expand tokens to their k claims (token-major) and COUNTING-sort the
+         claim expert ids (:func:`_counting_sort` — rank-by-cumsum, no
+         argsort) so each expert's tokens become one CONTIGUOUS row group
+         (permutation gathers only; custom VJPs keep every transpose a
+         gather too, no scatter-add anywhere),
       2. ``megablox`` grouped matmuls for fc1/fc2 over the row groups, with
          per-pass v5e-tuned tilings (:func:`_sparse_tilings` — the stock
          shared-tiling VJP leaves 4-5x on the floor); each row tile loads
          ONLY the owning expert's weight tiles, so FLOPs and weight HBM
          traffic both scale with top-k, not n_experts (decode at small
          batch reads just the selected experts' weights),
-      3. un-sort and gate-combine per token ('tk,tkd->td').
+      3. gate weights fold into the fc1 activation epilogue (the expert FFN
+         is linear past that point, so scaling h ≡ scaling the output), and
+         :func:`_combine_rows` un-sorts + k-sums in one gather-reduce.
 
     Rows are padded to the row-tile multiple; pad rows are appended to the
-    LAST expert's group with zero inputs and a sliced-off output, so they
-    contribute exactly zero forward and backward.
+    LAST expert's group and RE-READ token 0's embedding (zeros as gather
+    indices), with a zero gate: their forward output is sliced off before
+    the combine and their backward cotangent is the zero-padding of that
+    slice's transpose, so they are inert both directions.
+
+    ``aux`` (a dict collector) receives the router auxiliary losses computed
+    from this call's own routing.
     """
     shape = x.shape
     cd = cfg.cdtype()
@@ -365,48 +482,49 @@ def apply_moe_ffn_sparse(params: dict, cfg: TransformerConfig, x, *,
     t_tokens, d = xt.shape
     n_experts, _, f1 = params["fc1"]["weight"].shape
     f = params["fc2"]["weight"].shape[1]
-    _, sel, top_p = _gates(params, cfg, xt, top_k)  # (T, k) ids + gates
+    logits, probs, sel, top_p = _route(params, cfg, xt, top_k)  # (T, k)
+    if aux is not None:
+        aux.update(router_aux_from_route(logits, probs, sel))
 
     flat_ids = sel.reshape(-1)  # token-major claims: row t*k + j
-    perm = jnp.argsort(flat_ids)  # stable: (token, j) order within an expert
     g_rows = t_tokens * top_k
-    # inv by scatter, not a second argsort: inv[perm[g]] = g. A 1-D int
-    # scatter-set with unique indices vs a full (G,) sort (~0.24 ms each on
-    # the 8x124m step's 32k rows, 12 of them per step).
-    inv = jnp.zeros_like(perm).at[perm].set(
-        jnp.arange(g_rows, dtype=perm.dtype), unique_indices=True)
+    perm, inv, group_sizes = _counting_sort(flat_ids, n_experts)
     t1 = _sparse_tilings(g_rows, d, f1)
     t2 = _sparse_tilings(g_rows, f, d)
     # every row-tile size in play must divide the padded row count
     tm = max(t1[0][0], t2[0][0], t1[1][0], t2[1][0], t1[2][0], t2[2][0])
     g_pad = (g_rows + tm - 1) // tm * tm
-    group_sizes = jnp.bincount(flat_ids, length=n_experts).astype(jnp.int32)
     group_sizes = group_sizes.at[n_experts - 1].add(g_pad - g_rows)
 
     # Sorted claim row g reads token perm[g] // top_k straight from x —
-    # repeat and sort fused into ONE gather. Pad rows re-read token 0:
-    # their forward output is sliced off and their backward cotangent is
-    # the zero-padding of that slice's transpose, so the value is inert.
+    # repeat and sort fused into ONE gather (src doubles as the combine
+    # transpose map).
     src = perm // top_k
+    src_pad = src
     if g_pad != g_rows:
-        src = jnp.concatenate(
+        src_pad = jnp.concatenate(
             [src, jnp.zeros((g_pad - g_rows,), src.dtype)])
-    xs = _dispatch_rows(xt.astype(cd), src, inv, top_k)
+    xs = _dispatch_rows(xt.astype(cd), src_pad, inv, top_k)
+
+    # Gate weights in SORTED claim order, zero on pad rows. Scaling the fc1
+    # activation h by the gate is exact up to fp rounding order (everything
+    # downstream of h is linear) and rides the existing swiglu/activation
+    # elementwise pass — it deletes the separate (T,k)·(T,k,d) combine
+    # einsum operand AND makes pad rows contribute exactly zero.
+    gate_s = jnp.take(top_p.reshape(-1).astype(cd), perm)
+    if g_pad != g_rows:
+        gate_s = jnp.concatenate(
+            [gate_s, jnp.zeros((g_pad - g_rows,), gate_s.dtype)])
 
     w1 = params["fc1"]["weight"].astype(cd)  # (E, d, f1)
     h = _gmm(xs, w1, group_sizes, cd, *t1)
     if cfg.ffn_type.lower() == "swiglu":
-        hg, hu = jnp.split(h, 2, axis=-1)
-        h = jax.nn.silu(hg) * hu
+        h = jax.nn.silu(h[..., :f]) * h[..., f:] * gate_s[:, None]
     else:
-        h = get_activation(cfg.activation)(h)
+        h = get_activation(cfg.activation)(h) * gate_s[:, None]
     w2 = params["fc2"]["weight"].astype(cd)  # (E, f, d)
     ys = _gmm(h, w2, group_sizes, cd, *t2)[:g_rows]
-    ye = _permute_rows(ys, inv, perm)  # back to token-major claims
-    out = jnp.einsum("tk,tkd->td", top_p.astype(cd),
-                     ye.reshape(t_tokens, top_k, d),
-                     precision=best_precision(ye),
-                     preferred_element_type=cd)
+    out = _combine_rows(ys, inv, src, top_k)
     return out.reshape(shape).astype(x.dtype)
 
 
@@ -471,6 +589,132 @@ def apply_moe_ffn_ep(params: dict, cfg: TransformerConfig, x, *,
     out = jnp.einsum("tec,ecd->td", comb, ex_out,
                      precision=best_precision(comb),
                      preferred_element_type=jnp.float32)
+    return out.astype(x.dtype)
+
+
+def apply_moe_ffn_ep_sparse(params: dict, cfg: TransformerConfig, x, *,
+                            top_k: int = 1, capacity: int | None = None,
+                            axis_name: str = "ep", aux: dict | None = None):
+    """Dropless SPARSE expert parallelism inside ``shard_map`` — the
+    multi-chip composition of :func:`apply_moe_ffn_sparse`.
+
+    Replaces the GShard one-hot form (:func:`apply_moe_ffn_ep`) whose
+    (T, n_experts, capacity) dispatch/combine einsums are O(T·E·C) dense
+    work — exactly the all-experts shape the sparse path exists to kill. The
+    sparse composition moves per-claim ROWS instead of one-hot tensors:
+
+      1. route locally, counting-sort the (T_loc·k) claims by expert OWNER
+         (device ``expert // e_loc`` — experts are block-sharded over 'ep',
+         matching :func:`moe_param_shardings`),
+      2. pack each owner's claims into a fixed ``capacity``-row send bucket
+         (claim ranks beyond capacity are DROPPED — see the bound below),
+         one ``all_to_all`` for the token rows + one for the target
+         local-expert ids,
+      3. each owner counting-sorts its received rows by LOCAL expert and
+         runs the same per-pass-tuned megablox grouped matmuls as the
+         single-chip sparse path (:func:`_gmm` — activated FLOPs, only the
+         owner's expert weights are read),
+      4. un-sort, reverse ``all_to_all`` (slot-symmetric: results land back
+         at their send slots), gate-combine at the source.
+
+    Dispatch traffic per device is ``2 · ep·capacity · d`` row bytes vs the
+    one-hot form's ``2 · n_experts·C·d`` expert-buffer bytes PLUS the
+    O(T·E·C) dispatch/combine einsum FLOPs; unfilled bucket slots re-read
+    row 0 and are inert (their gate is zero at the combine, so forward
+    garbage and backward cotangents both vanish).
+
+    Dropless bound: a claim is dropped iff more than ``capacity`` local
+    claims target the same owner. ``capacity=None`` defaults to
+    ``T_loc · top_k`` — provably dropless (ALL local claims could target one
+    owner) at the cost of ep× bucket over-allocation; production runs with a
+    load-balance loss set ``capacity ≈ ceil(T_loc·top_k/ep) · slack`` (the
+    Switch capacity-factor recipe). The actual bucket is rounded up so every
+    grouped-matmul row tile divides the received row count (no dynamic
+    padding anywhere).
+
+    ``aux`` receives this shard's router losses (callers ``pmean`` over the
+    axis — both terms are means over tokens, and token shards are equal).
+    """
+    if "bias" in params["fc1"] or params["fc1"]["weight"].dtype == jnp.int8:
+        raise ValueError(
+            "apply_moe_ffn_ep_sparse supports bf16/f32 bias-free experts "
+            "only (the grouped-matmul contract of apply_moe_ffn_sparse); "
+            "biased or int8 expert stacks use apply_moe_ffn_ep")
+    ep = jax.lax.axis_size(axis_name)
+    cd = cfg.cdtype()
+    t_loc, d = x.shape
+    e_loc, _, f1 = params["fc1"]["weight"].shape
+    f = params["fc2"]["weight"].shape[1]
+    logits, probs, sel, top_p = _route(params, cfg, x, top_k)
+    if aux is not None:
+        aux.update(router_aux_from_route(logits, probs, sel))
+
+    flat_ids = sel.reshape(-1)  # (G,) global expert ids, token-major
+    g_rows = t_loc * top_k
+    owner = (flat_ids // e_loc).astype(jnp.int32)  # (G,) owning device
+
+    # Static bucket size: dropless default, rounded so ep·B divides the
+    # grouped-matmul row tiles (tilings only depend on static shapes). The
+    # DROP bound stays at the requested capacity — the tile round-up only
+    # adds inert slots, it must not silently admit more claims.
+    cap_req = capacity if capacity is not None else g_rows
+    bucket = cap_req
+    t1 = _sparse_tilings(ep * bucket, d, f1)
+    t2 = _sparse_tilings(ep * bucket, f, d)
+    tm = max(t1[0][0], t2[0][0], t1[1][0], t2[1][0], t1[2][0], t2[2][0])
+    while (ep * bucket) % tm:
+        bucket += 1
+    g_send = ep * bucket
+
+    # Rank of each claim within its owner's bucket (counting sort ranks).
+    occ = (owner[:, None] == jnp.arange(ep, dtype=jnp.int32)).astype(jnp.int32)
+    cum = jnp.cumsum(occ, axis=0)
+    rank = jnp.sum((cum - occ) * occ, axis=1)
+    dest = owner * bucket + rank  # send-slot of claim g
+    valid = rank < cap_req  # dropped claims exceed the requested capacity
+
+    # slot -> claim map: scatter claims into their slots (dropped claims go
+    # out of bounds and are discarded by mode="drop"); unfilled slots keep
+    # the sentinel and re-read token 0 with zero gate (inert).
+    slot_claim = jnp.full((g_send,), g_rows, jnp.int32).at[
+        jnp.where(valid, dest, g_send)].set(
+            jnp.arange(g_rows, dtype=jnp.int32), mode="drop",
+            unique_indices=True)
+    slot_live = slot_claim < g_rows
+    claim_clamped = jnp.minimum(slot_claim, g_rows - 1)
+    slot_tok = jnp.where(slot_live, claim_clamped // top_k, 0)
+    slot_le = jnp.where(slot_live,
+                        jnp.take(flat_ids, claim_clamped) % e_loc, 0)
+
+    xs_send = jnp.take(x.astype(cd), slot_tok, axis=0)  # (ep·B, d)
+    xr = jax.lax.all_to_all(xs_send, axis_name, split_axis=0, concat_axis=0,
+                            tiled=True)  # owner's rows, source-major slots
+    le_recv = jax.lax.all_to_all(slot_le, axis_name, split_axis=0,
+                                 concat_axis=0, tiled=True)
+
+    # Owner side: group received rows by local expert, grouped-matmul FFN.
+    perm_o, inv_o, gsz = _counting_sort(le_recv, e_loc)
+    xg = _permute_rows(xr, perm_o, inv_o)
+    w1 = params["fc1"]["weight"].astype(cd)
+    h = _gmm(xg, w1, gsz, cd, *t1)
+    if cfg.ffn_type.lower() == "swiglu":
+        h = jax.nn.silu(h[..., :f]) * h[..., f:]
+    else:
+        h = get_activation(cfg.activation)(h)
+    w2 = params["fc2"]["weight"].astype(cd)
+    ys = _gmm(h, w2, gsz, cd, *t2)
+    ys = _permute_rows(ys, inv_o, perm_o)  # back to slot order
+
+    # Results return to their senders' slots (the all_to_all is its own
+    # slot inverse: owner o's rows [s·B, (s+1)·B) go back to source s).
+    back = jax.lax.all_to_all(ys, axis_name, split_axis=0, concat_axis=0,
+                              tiled=True)
+
+    # Gate-combine: claim g's output sits at slot dest[g]; dropped claims
+    # contribute zero (Switch semantics), like the one-hot form's overflow.
+    gate = (top_p.reshape(-1) * valid.astype(jnp.float32)).astype(cd)
+    rows = jnp.take(back, jnp.where(valid, dest, 0), axis=0) * gate[:, None]
+    out = rows.reshape(t_loc, top_k, d).sum(axis=1)
     return out.astype(x.dtype)
 
 
