@@ -84,15 +84,18 @@ def bench_gpt2(batch=8, size="base"):
         compute_dtype="bfloat16"), key=jax.random.key(0))
     seq = model.config.seq_len
 
-    # logsumexp-gather CE (ops/losses.py): no (N, L, V) f32 log-prob tensor —
-    # at B=32 the materialized log_softmax form cost 278 ms/step vs 229
-    # (+22%, measured v5e); B=64 only compiles with this form.
-    from vitef_tpu.ops import next_token_cross_entropy as lm_loss
+    # Fused head+CE (ops/losses.fused_next_token_ce): the vocab matmul runs
+    # inside the chunked loss — no (N, L, V) logits OR dlogits tensor in the
+    # step. History: materialized log_softmax 278 ms/step @B=32 →
+    # logsumexp-gather 229 (+22%) → fused head 219 (+4.6%), and batch 64
+    # (which OOM'd even on the gather form) compiles and runs.
+    from vitef_tpu.ops import make_fused_head_loss
 
     schedule = build_scheduler({"scheduler": "cosine", "warmup": 100}, n_steps=1000)
     tx, _ = build_optimizer({"optimizer": "adamw", "lr": 3e-4},
                             schedule=schedule, grad_clip=1.0)
-    step_fn = make_train_step(model.apply, tx, loss_fn=lm_loss,
+    step_fn = make_train_step(model.apply, tx,
+                              hidden_loss=make_fused_head_loss(model.config),
                               schedule=schedule, base_lr=3e-4)
     state = init_train_state(model.params, tx)
 
@@ -143,12 +146,13 @@ def bench_llama(batch=16, size="124m", implementation="llama",
     cfg = model.config
     seq = cfg.seq_len
 
-    from vitef_tpu.ops import next_token_cross_entropy as lm_loss
+    from vitef_tpu.ops import make_fused_head_loss
 
     schedule = build_scheduler({"scheduler": "cosine", "warmup": 100}, n_steps=1000)
     tx, _ = build_optimizer({"optimizer": "adamw", "lr": 3e-4},
                             schedule=schedule, grad_clip=1.0)
-    step_fn = make_train_step(model.apply, tx, loss_fn=lm_loss,
+    step_fn = make_train_step(model.apply, tx,
+                              hidden_loss=make_fused_head_loss(cfg),
                               schedule=schedule, base_lr=3e-4)
     state = init_train_state(model.params, tx)
 
@@ -199,7 +203,10 @@ if __name__ == "__main__":
     if "vit_huge" in which:
         bench_vit("huge", 32)  # fits without remat; remat@64 measured 17% slower
     if "gpt2" in which:
-        bench_gpt2(batch=16)  # best of {8,16,32}; 64 OOMs (2x 6.1G logit remat)
+        # best batch with the fused head+CE loss: 64 (61.6%) > 32 (60.8%) >
+        # 16 (58.0%). Before the fused loss, 64 did not even compile (XLA's
+        # 2x 6.1G bf16 logit remat copies) and 16 was the best fit.
+        bench_gpt2(batch=64)
     if "gpt2_medium" in which:
         bench_gpt2(batch=16, size="medium")  # 62.9% vs 61.2% at batch 8
     if "gpt2_large" in which:

@@ -702,9 +702,14 @@ def apply_block(params: dict, cfg: TransformerConfig, x, *,
 
 def apply_output(params: dict, cfg: TransformerConfig, x, *, emb_params=None,
                  deterministic: bool = True, rng=None,
-                 stats_out: dict | None = None):
+                 stats_out: dict | None = None, pre_head: bool = False):
     """Task head (architecture.py:355-563): classification (CLS-token pool),
-    forecasting (flatten), or seq2seq (optionally weight-tied)."""
+    forecasting (flatten), or seq2seq (optionally weight-tied).
+
+    ``pre_head=True`` (seq2seq only): stop after the final norm + dropout
+    and return the (N, L, E) hidden rows instead of logits — the input the
+    fused head+CE loss (ops/losses.fused_next_token_ce) consumes, which
+    never materialises the (N, L, V) logits."""
     cd = cfg.cdtype()
     p = params["output_layer"]
     ot = cfg.output_type.lower()
@@ -726,6 +731,8 @@ def apply_output(params: dict, cfg: TransformerConfig, x, *, emb_params=None,
                     "output.output_layer.norm")
         if not deterministic and cfg.output_dropout > 0:
             out = _dropout(out, cfg.output_dropout, rng, deterministic=False)
+        if pre_head:
+            return out
         if cfg.weight_tying:
             w = emb_params["token_emb"]["weight"].astype(cd)  # (V, E)
             logits = jnp.einsum("nle,ve->nlv", out.astype(cd), w,
@@ -738,7 +745,8 @@ def apply_output(params: dict, cfg: TransformerConfig, x, *, emb_params=None,
 
 def apply_transformer(params: dict, cfg: TransformerConfig, x, *,
                       deterministic: bool = True, rng=None, verbose: bool = False,
-                      return_stats: bool = False, return_moe_aux: bool = False):
+                      return_stats: bool = False, return_moe_aux: bool = False,
+                      return_hidden: bool = False):
     """Full forward (architecture.py:824-854). ``verbose=True`` additionally returns
     the stacked (n_layers, N, h, L, L) attention matrices.
 
@@ -747,12 +755,18 @@ def apply_transformer(params: dict, cfg: TransformerConfig, x, *,
     statistics of every batch-norm site (nn.BatchNorm1d running-stat semantics;
     see models/norms.py) for the train step to EMA into the params. Empty for
     layer/rms norms. Mutually exclusive with ``verbose``.
+
+    ``return_hidden=True`` (seq2seq only): return the post-final-norm
+    (N, L, E) hidden instead of logits — the vocab head is expected to run
+    fused into the loss (ops/losses.fused_next_token_ce).
     """
     collect = return_stats and not deterministic and cfg.norm.lower() == "batch"
     collect_aux = bool(return_moe_aux and cfg.n_experts)
     if (return_stats or return_moe_aux) and verbose:
         raise ValueError("return_stats/return_moe_aux and verbose are "
                          "mutually exclusive")
+    if return_hidden and cfg.output_type.lower() != "sequence_to_sequence":
+        raise ValueError("return_hidden requires a seq2seq output head")
     n_rngs = cfg.n_layers + 2
     rngs = [None] * n_rngs
     if rng is not None and not deterministic:
@@ -793,7 +807,8 @@ def apply_transformer(params: dict, cfg: TransformerConfig, x, *,
             attentions.append(att)
     out = apply_output(params["output"], cfg, out, emb_params=params["embedding"],
                        deterministic=deterministic, rng=rngs[-1],
-                       stats_out=all_stats if collect else None)
+                       stats_out=all_stats if collect else None,
+                       pre_head=return_hidden)
     if verbose:
         out = (out, jnp.stack(attentions))
     if return_moe_aux:

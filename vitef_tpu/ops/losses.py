@@ -21,8 +21,12 @@ serving/bench stack's loss). See also tools/bench_models.py.
 """
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
+
+from .common import best_precision
 
 
 def next_token_cross_entropy(logits, tokens, *, ignore_index: int | None = None):
@@ -41,3 +45,184 @@ def next_token_cross_entropy(logits, tokens, *, ignore_index: int | None = None)
         return jnp.mean(nll)
     valid = (tgt != ignore_index).astype(jnp.float32)
     return jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+
+
+# ---------------------------------------------------------------------------
+# Fused vocab head + cross entropy (chunked custom VJP)
+# ---------------------------------------------------------------------------
+#
+# Even the logsumexp-gather form above leaves two (M, V)-sized tensors in the
+# step: the forward logits, and — the expensive one — the BACKWARD's dlogits
+# (softmax − onehot)·g, which XLA materialises in bf16 (7.3 ms/step and
+# ~1.5 GB of HBM traffic at GPT2-small batch 16; batch 64 OOMs outright on
+# XLA's 2x logit remat copies). Fusing the head matmul INTO the loss removes
+# both: the forward scans token chunks, computing each (C, V) logits block
+# and reducing it immediately to (C,) logsumexp + picked values (only the
+# (M,) lse row survives as a residual); the backward re-runs the chunk
+# matmul, forms (softmax − onehot)·g in registers-to-one-chunk, and
+# immediately contracts it into dh (chunk output) and dW (f32 scan carry).
+# No (M, V) tensor — forward, backward, or residual — ever exists, so peak
+# memory is independent of batch and the remat pressure on the trunk
+# disappears with it.
+#
+# Numerics contract: identical math to apply_output(seq2seq) followed by
+# next_token_cross_entropy — bf16 matmul inputs with f32 logits
+# (preferred_element_type), jax.nn.logsumexp over f32, f32 nll — up to the
+# chunked reassociation of the final mean and of the dW sum. fp32 inputs take
+# precision=HIGHEST via best_precision (golden-parity rule).
+
+
+def _chunk_logits(hc, w, b, w_layout):
+    """(C, V) f32 logits for one row chunk; w_layout 'vd' = tied (V, d)
+    embedding layout, 'dv' = untied head layout."""
+    spec = "cd,vd->cv" if w_layout == "vd" else "cd,dv->cv"
+    lg = jnp.einsum(spec, hc, w, precision=best_precision(hc, w),
+                    preferred_element_type=jnp.float32)
+    if b is not None:
+        lg = lg + b.astype(jnp.float32)
+    return lg
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _fused_ce_sum(h, w, b, tgt, w_layout, chunk):
+    """Σ_rows (logsumexp(h·wᵀ) − logit[tgt]) over valid rows (tgt >= 0).
+
+    ``h``: (M, d) pre-head rows in the compute dtype, M % chunk == 0;
+    ``w``: vocab weight (raw param dtype — cast inside, so dW flows back in
+    the param dtype); ``tgt``: (M,) int32, −1 marks masked/pad rows.
+    """
+    cd = h.dtype
+    hs = h.reshape(-1, chunk, h.shape[1])
+    ts = tgt.reshape(-1, chunk)
+    wc = w.astype(cd)
+    bc = None if b is None else b.astype(cd)
+
+    def body(acc, inp):
+        hc, tc = inp
+        lg = _chunk_logits(hc, wc, bc, w_layout)
+        lse = jax.nn.logsumexp(lg, axis=-1)
+        picked = jnp.take_along_axis(
+            lg, jnp.maximum(tc, 0)[:, None], axis=-1)[:, 0]
+        nll = jnp.where(tc >= 0, lse - picked, 0.0)
+        return acc + jnp.sum(nll), None
+
+    total, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), (hs, ts))
+    return total
+
+
+def _fused_ce_sum_fwd(h, w, b, tgt, w_layout, chunk):
+    cd = h.dtype
+    hs = h.reshape(-1, chunk, h.shape[1])
+    ts = tgt.reshape(-1, chunk)
+    wc = w.astype(cd)
+    bc = None if b is None else b.astype(cd)
+
+    def body(acc, inp):
+        hc, tc = inp
+        lg = _chunk_logits(hc, wc, bc, w_layout)
+        lse = jax.nn.logsumexp(lg, axis=-1)
+        picked = jnp.take_along_axis(
+            lg, jnp.maximum(tc, 0)[:, None], axis=-1)[:, 0]
+        nll = jnp.where(tc >= 0, lse - picked, 0.0)
+        return acc + jnp.sum(nll), lse
+
+    total, lses = jax.lax.scan(body, jnp.zeros((), jnp.float32), (hs, ts))
+    return total, (h, w, b, tgt, lses)
+
+
+def _fused_ce_sum_bwd(w_layout, chunk, res, g):
+    h, w, b, tgt, lses = res
+    cd = h.dtype
+    d = h.shape[1]
+    hs = h.reshape(-1, chunk, d)
+    ts = tgt.reshape(-1, chunk)
+    wc = w.astype(cd)
+    bc = None if b is None else b.astype(cd)
+    vocab = w.shape[0] if w_layout == "vd" else w.shape[1]
+    iota_v = jax.lax.iota(jnp.int32, vocab)
+    prec = best_precision(h, wc)
+
+    def body(carry, inp):
+        dw_acc, db_acc = carry
+        hc, tc, lsec = inp
+        lg = _chunk_logits(hc, wc, bc, w_layout)
+        p = jnp.exp(lg - lsec[:, None])
+        gs = jnp.where(tc >= 0, g, 0.0).astype(jnp.float32)  # (C,)
+        onehot = (iota_v[None, :] == tc[:, None]).astype(jnp.float32)
+        dlog = ((p - onehot) * gs[:, None]).astype(cd)  # (C, V), one chunk
+        if w_layout == "vd":
+            dh_c = jnp.einsum("cv,vd->cd", dlog, wc, precision=prec,
+                              preferred_element_type=cd)
+            dw_c = jnp.einsum("cv,cd->vd", dlog, hc, precision=prec,
+                              preferred_element_type=jnp.float32)
+        else:
+            dh_c = jnp.einsum("cv,dv->cd", dlog, wc, precision=prec,
+                              preferred_element_type=cd)
+            dw_c = jnp.einsum("cd,cv->dv", hc, dlog, precision=prec,
+                              preferred_element_type=jnp.float32)
+        db_c = (jnp.sum(dlog.astype(jnp.float32), axis=0)
+                if b is not None else db_acc)
+        return (dw_acc + dw_c,
+                db_acc + db_c if b is not None else db_acc), dh_c
+
+    dw0 = jnp.zeros(w.shape, jnp.float32)
+    db0 = jnp.zeros(b.shape, jnp.float32) if b is not None else jnp.zeros(())
+    (dw, db), dhs = jax.lax.scan(body, (dw0, db0), (hs, ts, lses))
+    dh = dhs.reshape(h.shape).astype(h.dtype)
+    return (dh, dw.astype(w.dtype),
+            db.astype(b.dtype) if b is not None else None, None)
+
+
+_fused_ce_sum.defvjp(_fused_ce_sum_fwd, _fused_ce_sum_bwd)
+
+
+def fused_next_token_ce(hidden, w, tokens, *, bias=None, w_layout="vd",
+                        ignore_index: int | None = None, chunk: int = 2048):
+    """Mean next-token CE computed FROM THE PRE-HEAD HIDDEN — the vocab
+    head matmul fuses into the loss (see module block comment).
+
+    ``hidden``: (N, L, d) post-final-norm rows (``apply_transformer(...,
+    return_hidden=True)``); ``w``: (V, d) tied-embedding layout
+    (``w_layout='vd'``) or (d, V) untied head layout (``'dv'``);
+    ``tokens``: (N, L) int labels — ``hidden[:, t]`` predicts
+    ``tokens[:, t+1]`` exactly like :func:`next_token_cross_entropy`.
+    Returns a float32 scalar. ``chunk`` rows of logits is the only
+    vocab-sized buffer alive at once.
+    """
+    n, length, d = hidden.shape
+    h = hidden[:, :-1].reshape(-1, d)
+    tgt = tokens[:, 1:].reshape(-1).astype(jnp.int32)
+    if ignore_index is not None:
+        tgt = jnp.where(tgt == ignore_index, -1, tgt)
+    m = h.shape[0]
+    c = min(chunk, m)
+    pad = (-m) % c
+    if pad:
+        h = jnp.concatenate([h, jnp.zeros((pad, d), h.dtype)])
+        tgt = jnp.concatenate([tgt, jnp.full((pad,), -1, jnp.int32)])
+    total = _fused_ce_sum(h, w, bias, tgt, w_layout, c)
+    n_valid = jnp.sum((tgt >= 0).astype(jnp.float32))
+    return total / jnp.maximum(n_valid, 1.0)
+
+
+def make_fused_head_loss(cfg, *, ignore_index: int | None = None,
+                         chunk: int = 2048):
+    """``(params, hidden, tokens) -> loss`` for seq2seq models: picks the
+    tied embedding or the untied head weight from ``params`` and fuses the
+    vocab matmul into the CE. Pass as ``make_train_step(...,
+    hidden_loss=...)`` with a model whose apply supports
+    ``return_hidden=True``."""
+    if cfg.output_type.lower() != "sequence_to_sequence":
+        raise ValueError("fused head loss requires a seq2seq output head")
+
+    def loss(params, hidden, tokens):
+        if cfg.weight_tying:
+            w = params["embedding"]["token_emb"]["weight"]
+            return fused_next_token_ce(hidden, w, tokens, w_layout="vd",
+                                       ignore_index=ignore_index, chunk=chunk)
+        p = params["output"]["output_layer"]["head"]
+        return fused_next_token_ce(hidden, p["weight"], tokens,
+                                   bias=p.get("bias"), w_layout="dv",
+                                   ignore_index=ignore_index, chunk=chunk)
+
+    return loss

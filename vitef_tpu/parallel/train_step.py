@@ -67,6 +67,7 @@ def make_train_step(
     mesh: Any = None,
     block_grad_norms: bool = False,
     moe_aux_coefs: tuple | None = None,
+    hidden_loss: Callable | None = None,
 ):
     """Build the jitted train step ``(state, batch, rng) -> (state, metrics)``.
 
@@ -101,26 +102,35 @@ def make_train_step(
     if moe_aux_coefs is not None and update_stats:
         raise ValueError("moe_aux_coefs and update_stats are mutually "
                          "exclusive (no batch-norm MoE family)")
+    if hidden_loss is not None and update_stats:
+        raise ValueError("hidden_loss and update_stats are mutually "
+                         "exclusive (no batch-norm causal-LM family)")
 
     def loss_of(params, x, y, rng):
         # Train mode unconditionally (deterministic=False): batch norm must use
         # batch statistics even when no rng is passed (rng only gates dropout,
         # and all dropout applications guard on rate > 0).
+        # ``hidden_loss`` (fused head+CE, ops/losses.make_fused_head_loss):
+        # the forward stops at the pre-head hidden and the loss fuses the
+        # vocab matmul — no (N, L, V) logits tensor in the step.
+        fwd_kw = {"return_hidden": True} if hidden_loss is not None else {}
+        task = ((lambda out, yy: hidden_loss(params, out, yy))
+                if hidden_loss is not None else loss_fn)
         if moe_aux_coefs is not None:
             # MoE router auxiliary losses (parallel/moe.router_aux): the
             # load-balance and z terms join the task loss, and their raw
             # values surface in the step metrics.
             c_lb, c_z = moe_aux_coefs
-            logits, aux = apply_fn(params, x, deterministic=False, rng=rng,
-                                   return_moe_aux=True)
-            loss = loss_fn(logits, y) + c_lb * aux["lb"] + c_z * aux["z"]
+            out, aux = apply_fn(params, x, deterministic=False, rng=rng,
+                                return_moe_aux=True, **fwd_kw)
+            loss = task(out, y) + c_lb * aux["lb"] + c_z * aux["z"]
             return loss, ({}, {"moe_lb": aux["lb"], "moe_z": aux["z"]})
         if update_stats:
             logits, stats = apply_fn(params, x, deterministic=False, rng=rng,
                                      return_stats=True)
             return loss_fn(logits, y), (stats, {})
-        logits = apply_fn(params, x, deterministic=False, rng=rng)
-        return loss_fn(logits, y), ({}, {})
+        out = apply_fn(params, x, deterministic=False, rng=rng, **fwd_kw)
+        return task(out, y), ({}, {})
 
     grad_fn = jax.value_and_grad(loss_of, has_aux=True)
 
