@@ -178,3 +178,85 @@ def test_sparse_dp_shard_map_matches_single_device():
     assert np.allclose(loss_single, loss_dp, atol=1e-5)
     for a, b in zip(single_leaves, dp_leaves):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_fused_swiglu_segment_matches_oracle():
+    """The swiglu-fused grouped-matmul segment (ops/gmm_fused.py via
+    parallel/moe._ffn_segment_swiglu) equals the per-group dense oracle,
+    forward AND backward, at a geometry that satisfies _fused_swiglu_ok.
+    The gated activation never exists in HBM; the backward runs the
+    two-output dy kernel + the dual-lhs dx kernel + the prologue-recompute
+    dw2 kernel — all checked here in interpret mode."""
+    from vitef_tpu.parallel.moe import (_ffn_segment_swiglu,
+                                        _fused_swiglu_ok, _sparse_tilings)
+
+    E, d, f = 4, 128, 128
+    f1 = 2 * f
+    G = 256
+    rng = np.random.default_rng(0)
+    xs = jnp.asarray(rng.normal(size=(G, d)), jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(E, d, f1)) * 0.05, jnp.float32)
+    w2 = jnp.asarray(rng.normal(size=(E, f, d)) * 0.05, jnp.float32)
+    sizes = jnp.asarray([64, 32, 96, 64], jnp.int32)
+    t1 = _sparse_tilings(G, d, f1)
+    t2 = _sparse_tilings(G, f, d)
+    assert _fused_swiglu_ok(t1, t2, f, d)
+
+    def oracle(xs, w1, w2):
+        outs, start = [], 0
+        for e in range(E):
+            n = int(sizes[e])
+            h = xs[start:start + n] @ w1[e]
+            y = jax.nn.silu(h[:, :f]) * h[:, f:]
+            outs.append(y @ w2[e])
+            start += n
+        return jnp.concatenate(outs, 0)
+
+    def loss_o(xs, w1, w2):
+        return jnp.sum(jnp.sin(oracle(xs, w1, w2)))
+
+    def loss_f(xs, w1, w2):
+        with pltpu.force_tpu_interpret_mode():
+            ys = _ffn_segment_swiglu(xs, w1, w2, sizes, jnp.float32, t1, t2)
+        return jnp.sum(jnp.sin(ys))
+
+    with pltpu.force_tpu_interpret_mode():
+        got = _ffn_segment_swiglu(xs, w1, w2, sizes, jnp.float32, t1, t2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(oracle(xs, w1, w2)),
+                               atol=1e-5, rtol=1e-5)
+    g_o = jax.grad(loss_o, argnums=(0, 1, 2))(xs, w1, w2)
+    with pltpu.force_tpu_interpret_mode():
+        g_f = jax.grad(loss_f, argnums=(0, 1, 2))(xs, w1, w2)
+    for a, b in zip(g_o, g_f):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=5e-4)
+
+
+def test_sparse_fused_geometry_matches_dense():
+    """apply_moe_ffn_sparse at a fused-eligible geometry (d, f multiples of
+    128) routes through the fused segment and still equals the dense
+    oracle, forward and backward — the integration guard for
+    _fused_swiglu_ok + the gate-in-combine fold."""
+    from dataclasses import replace
+
+    cfg = replace(tiny_cfg(), emb_dim=128, ffn_dim=128, n_heads=4)
+    params = init_moe_ffn(jax.random.PRNGKey(2), cfg, cfg.n_experts)
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 24, cfg.emb_dim),
+                          jnp.float32)
+
+    def loss(fn, p, xx):
+        return jnp.sum(fn(p, cfg, xx, top_k=cfg.moe_top_k) ** 2)
+
+    dense = apply_moe_ffn(params, cfg, x, top_k=cfg.moe_top_k)
+    with pltpu.force_tpu_interpret_mode():
+        sparse = apply_moe_ffn_sparse(params, cfg, x, top_k=cfg.moe_top_k)
+    np.testing.assert_allclose(np.asarray(dense), np.asarray(sparse),
+                               atol=2e-5, rtol=2e-5)
+    gd = jax.grad(lambda p, xx: loss(apply_moe_ffn, p, xx),
+                  argnums=(0, 1))(params, x)
+    with pltpu.force_tpu_interpret_mode():
+        gs = jax.grad(lambda p, xx: loss(apply_moe_ffn_sparse, p, xx),
+                      argnums=(0, 1))(params, x)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-4), gd, gs)

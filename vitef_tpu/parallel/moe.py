@@ -63,7 +63,7 @@ def init_moe_ffn(key, cfg: TransformerConfig, n_experts: int) -> dict:
     return params
 
 
-def _router_topk(probs, top_k: int):
+def _router_topk(scores, top_k: int):
     """``lax.top_k`` semantics (ties → lower index first) without the full
     per-row variadic sort for the router's small-E case.
 
@@ -73,23 +73,25 @@ def _router_topk(probs, top_k: int):
     maximum and the mask removes exactly that index, so repeated ties come
     out in ascending-index order — identical to ``lax.top_k``'s tie order.
     Gradients match too: the value reads are gathers at the selected indices.
+    Works on raw LOGITS (can be arbitrarily negative): masking uses a large
+    finite negative, not -1 (which only dominates softmax probabilities).
     """
-    n = probs.shape[-1]
+    n = scores.shape[-1]
     if top_k >= n or n > 16 or top_k > 4:
-        return jax.lax.top_k(probs, top_k)
+        return jax.lax.top_k(scores, top_k)
     iota = jnp.arange(n, dtype=jnp.int32)
     vals, idxs = [], []
-    p = probs
+    p = scores
     for _ in range(top_k):
         i = jnp.argmax(p, axis=-1).astype(jnp.int32)
         vals.append(jnp.take_along_axis(p, i[..., None], axis=-1)[..., 0])
         idxs.append(i)
-        # softmax probs are positive; -1 beats masking with -inf (stays finite)
-        p = jnp.where(iota == i[..., None], jnp.float32(-1.0), p)
+        # finite sentinel (not -inf): masked entries only re-enter argmax
+        p = jnp.where(iota == i[..., None], jnp.float32(-1e30), p)
     return jnp.stack(vals, axis=-1), jnp.stack(idxs, axis=-1)
 
 
-def _route(params, cfg, x, top_k):
+def _route(params, cfg, x, top_k, need_probs: bool = True):
     """fp32 router forward shared by dispatch AND the auxiliary losses.
 
     Returns ``(logits, probs, sel, top_p)`` for (T, d) tokens: raw fp32
@@ -98,15 +100,25 @@ def _route(params, cfg, x, top_k):
     from THESE tensors (``router_aux_from_route``), so they provably share
     the dispatch path's routing — no reliance on XLA CSE de-duplicating a
     second router einsum (which remat or precision drift could break).
+
+    Selection and gates come straight from the LOGITS with (T, k)-sized
+    math: renormalising the top-k of a softmax is EXACTLY the softmax over
+    the top-k logits (monotonic exp, shared normaliser cancels) — same
+    reals, same gradients, same tie order. The full (T, E) softmax is only
+    computed when the aux losses need it (``need_probs=True``), so the
+    forward is BIT-IDENTICAL with and without aux collection (tested), and
+    the aux-free dispatch path skips ~10 ms/step of fwd+bwd (T, E)-shaped
+    elementwise passes the round-4 8x124m trace charged to the
+    softmax→top-k→renorm chain.
     """
     logits = jnp.einsum(
         "te,en->tn", x.astype(jnp.float32),
         params["router"]["weight"].astype(jnp.float32),
         precision=best_precision(x.astype(jnp.float32)),
         preferred_element_type=jnp.float32)
-    probs = jax.nn.softmax(logits, axis=-1)
-    top_p, sel = _router_topk(probs, top_k)  # (T, k)
-    top_p = top_p / jnp.sum(top_p, axis=-1, keepdims=True)
+    top_l, sel = _router_topk(logits, top_k)  # (T, k)
+    top_p = jax.nn.softmax(top_l, axis=-1)
+    probs = jax.nn.softmax(logits, axis=-1) if need_probs else None
     return logits, probs, sel, top_p
 
 
@@ -117,8 +129,9 @@ def _gates(params, cfg, x, top_k):
     with zeros outside each token's top-k, ``sel`` the (T, top_k) expert ids
     and ``top_p`` the renormalised (T, top_k) gate weights.
     """
-    logits, probs, sel, top_p = _route(params, cfg, x, top_k)
-    n_experts = probs.shape[-1]
+    logits, probs, sel, top_p = _route(params, cfg, x, top_k,
+                                       need_probs=False)
+    n_experts = params["router"]["weight"].shape[-1]
     onehot = jax.nn.one_hot(sel, n_experts, dtype=jnp.float32)  # (T, k, E)
     gate_full = jnp.einsum("tk,tke->te", top_p, onehot)
     return gate_full, sel, top_p
@@ -197,8 +210,9 @@ def apply_moe_ffn(params: dict, cfg: TransformerConfig, x, *, top_k: int = 1,
     auxiliary losses computed from this call's OWN routing."""
     shape = x.shape
     xt = x.reshape(-1, shape[-1])
-    logits, probs, sel, top_p = _route(params, cfg, xt, top_k)
-    n_experts = probs.shape[-1]
+    logits, probs, sel, top_p = _route(params, cfg, xt, top_k,
+                                       need_probs=aux is not None)
+    n_experts = params["router"]["weight"].shape[-1]
     onehot = jax.nn.one_hot(sel, n_experts, dtype=jnp.float32)  # (T, k, E)
     gate = jnp.einsum("tk,tke->te", top_p, onehot)
     if aux is not None:
@@ -231,38 +245,71 @@ def _dispatch_rows_fwd(x, src, inv, top_k):
 
 def _dispatch_rows_bwd(top_k, res, g):
     (inv,) = res
-    gt = jnp.take(g, inv, axis=0)  # token-major claims (T*k, d)
-    return gt.reshape(-1, top_k, g.shape[-1]).sum(axis=1), None, None
+    # Unrolled over top_k (same rationale as _combine_rows): one loop
+    # fusion reading k gathered rows per token, no (T, k, d) reshape of a
+    # gathered operand, no materialised token-major claim buffer.
+    inv2 = inv.reshape(-1, top_k)
+    out = None
+    for j in range(top_k):
+        c = jnp.take(g, inv2[:, j], axis=0)
+        out = c if out is None else out + c
+    return out, None, None
 
 
 _dispatch_rows.defvjp(_dispatch_rows_fwd, _dispatch_rows_bwd)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _combine_rows(ys, inv, src, top_k):
-    """Un-sort + per-token k-claim sum in ONE fused gather-reduce.
+@partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _combine_rows(ys, gate, inv, src, perm, top_k):
+    """Un-sort + GATE-scale + per-token k-claim sum in ONE gather-reduce.
 
-    ``ys`` is the (G, d) SORTED, gate-pre-scaled claim outputs; ``inv`` maps
-    token-major claim g to its sorted row; the result is the (T, d) output
-    ``out[t] = Σ_j ys[inv[t·k+j]]``. Replaces the round-3 two-op form
-    (permutation gather → (T,k,d) reshape → 'tk,tkd->td' einsum): one pass
-    over the activation set instead of two, and no (T,k) gate operand.
+    ``ys`` is the (G, d) SORTED claim outputs; ``gate`` the (T, k) renormed
+    router weights (token-major — exactly ``top_p``, no permutation gather
+    needed forward); ``inv`` maps token-major claim g to its sorted row. The
+    result is ``out[t] = Σ_j gate[t,j] · ys[inv[t·k+j]]``.
 
-    The transpose is a single gather — ``d ys[j] = dout[src[j]]`` where
-    ``src[j] = perm[j] // top_k`` is the claim's source token (the same map
-    the dispatch gather uses) — no scatter-add anywhere.
+    Folding the gate HERE (round 4) instead of into the fc1 activation
+    epilogue keeps the expert matmul chain a pure function of the routed
+    rows — which lets the swiglu epilogue fuse into the grouped-matmul
+    kernels (ops/gmm_fused.py) — and deletes the per-layer sorted-order
+    gate gather from the forward (the ``take(top_p, perm)`` launches cost
+    ~7 ms/step on the round-4 trace). Backward stays gather-shaped:
+    ``d ys[r] = gate_flat[perm[r]] · dout[src[r]]`` (the same src map as
+    dispatch), ``d gate[t,j] = ys[inv[t·k+j]] · dout[t]`` — no scatter-add
+    anywhere.
+
+    Shape discipline (round-4 trace): the claims are unrolled over the
+    small ``top_k`` instead of reshaped to (T, k, d) — the reshape of a
+    gathered operand broke XLA's gather→multiply→reduce fusion and
+    materialised ``ye`` (and, in the old backward, an f32 (T, k, d)
+    broadcast of it) in HBM. Unrolled, the whole forward is ONE loop
+    fusion: read k gathered rows, scale, add, write (T, d).
     """
-    ye = jnp.take(ys, inv, axis=0)  # token-major claims (T*k, d)
-    return ye.reshape(-1, top_k, ys.shape[-1]).sum(axis=1)
+    inv2 = inv.reshape(-1, top_k)
+    out = None
+    for j in range(top_k):
+        c = jnp.take(ys, inv2[:, j], axis=0) * gate[:, j, None].astype(ys.dtype)
+        out = c if out is None else out + c
+    return out
 
 
-def _combine_rows_fwd(ys, inv, src, top_k):
-    return _combine_rows(ys, inv, src, top_k), (src,)
+def _combine_rows_fwd(ys, gate, inv, src, perm, top_k):
+    return _combine_rows(ys, gate, inv, src, perm, top_k), (ys, gate, inv,
+                                                            src, perm)
 
 
 def _combine_rows_bwd(top_k, res, g):
-    (src,) = res
-    return jnp.take(g, src, axis=0), None, None
+    ys, gate, inv, src, perm = res
+    gate_sorted = jnp.take(gate.reshape(-1), perm).astype(ys.dtype)
+    gs = jnp.take(g, src, axis=0)  # (G, d) — shared by d_ys AND d_gate
+    d_ys = gs * gate_sorted[:, None]
+    # d_gate[t,j] = <ys[inv[t,j]], g[t]> computed in SORTED order as
+    # c[r] = <ys[r], gs[r]> (src[inv[t,j]] == t), then a tiny (G,) gather —
+    # no second (G, d) gather of ys, no f32 (T, k, d) materialisation; the
+    # converts fuse into the row-dot reduction.
+    c = jnp.sum(ys.astype(jnp.float32) * gs.astype(jnp.float32), axis=-1)
+    d_gate = jnp.take(c, inv).reshape(gate.shape).astype(gate.dtype)
+    return d_ys, d_gate, None, None, None
 
 
 _combine_rows.defvjp(_combine_rows_fwd, _combine_rows_bwd)
@@ -393,7 +440,7 @@ def _gmm_bwd(dtype, t_fwd, t_dx, t_dw, res, g):
 _gmm.defvjp(_gmm_fwd, _gmm_bwd)
 
 
-def _sparse_tilings(g_rows, k, n):
+def _sparse_tilings(g_rows, k, n, dtype=jnp.bfloat16):
     """v5e-tuned (t_fwd, t_dx, t_dw) for one expert matmul (G,k)@(E,k,n).
 
     Measured at the 8x124m step shapes (G=16k: d=768, f1=4096, f=2048 —
@@ -402,18 +449,171 @@ def _sparse_tilings(g_rows, k, n):
     (decode) keep small tiles: fewer wasted pad rows, and the weight-tile
     streaming (only the selected experts' tiles are read) is the win there,
     not MXU utilisation.
+
+    ``dtype`` is the io/compute dtype the tiles hold: 4-byte dtypes halve
+    the row tile — the bf16-tuned (1024, ·, 1024) tiles at f32 width blow
+    megablox's 16 MiB scoped-vmem stack (measured on-device: 16.41M vs the
+    16.01M limit at G=4096, k=768, n=3072 with an f32 out tile).
     """
+    wide = jnp.dtype(dtype).itemsize >= 4
     if g_rows < 4096:
         t = (128, min(k, 512), min(n, 512))
         return t, (128, min(n, 512), min(k, 512)), (128, min(k, 512),
                                                     min(n, 512))
     def fwd_rule(k_, n_):
-        return (1024 if n_ >= 1024 else 512, min(k_, 1024), min(n_, 1024))
+        tm = 1024 if n_ >= 1024 else 512
+        return (tm // 2 if wide else tm, min(k_, 1024), min(n_, 1024))
     t_fwd = fwd_rule(k, n)
     t_dx = fwd_rule(n, k)  # dx is a normal gmm on the transposed weight
-    t_dw = (256 if n >= 1024 else 1024,
+    tg = 256 if n >= 1024 else 1024
+    t_dw = (tg // 2 if wide and tg > 256 else tg,
             min(k, 1024) if k <= 1024 else 512, min(n, 1024))
     return t_fwd, t_dx, t_dw
+
+
+@jax.custom_vjp
+def _swiglu_plain(h):
+    """One-pass swiglu with a concat-shaped backward (no f32 pad+add, no
+    XLA remat): the fallback for geometries the fused grouped-matmul
+    segment (:func:`_ffn_segment_swiglu`) can't tile regularly, and the
+    EP-sparse owner side (gates apply at the source device after the
+    return all_to_all)."""
+    f = h.shape[-1] // 2
+    return jax.nn.silu(h[..., :f]) * h[..., f:]
+
+
+def _swiglu_plain_fwd(h):
+    return _swiglu_plain(h), h
+
+
+def _swiglu_plain_bwd(h, g):
+    f = h.shape[-1] // 2
+    gate = h[..., :f].astype(jnp.float32)
+    up = h[..., f:].astype(jnp.float32)
+    s = jax.nn.sigmoid(gate)
+    gf = g.astype(jnp.float32)
+    dgate = gf * up * (s * (1.0 + gate * (1.0 - s)))
+    dup = gf * gate * s
+    return (jnp.concatenate([dgate, dup], axis=-1).astype(h.dtype),)
+
+
+_swiglu_plain.defvjp(_swiglu_plain_fwd, _swiglu_plain_bwd)
+
+
+def _fit_tile(t: int, dim: int) -> int:
+    """Largest multiple of 128 that divides ``dim`` and is ≤ ``t`` (the
+    fused kernels assert regular tiling; snapping to a divisor instead of a
+    plain min keeps geometries like f=1536 with a tuned tk=1024 eligible —
+    1536 % 1024 != 0, but 768 divides). Returns ``t`` unchanged when ``dim``
+    has no 128-multiple divisor ≤ t, which makes the eligibility check
+    fail → plain-gmm fallback."""
+    if dim % 128 != 0:
+        return t
+    best = t
+    for cand in range(min(t, dim), 127, -128):
+        if dim % cand == 0:
+            best = cand
+            break
+    return best
+
+
+def _clamp_tiling(t, k: int, n: int):
+    """Fit a (tm, tk, tn) tuning tuple to the kernel's ACTUAL (k, n) dims
+    (the tuned tuples come from :func:`_sparse_tilings` for the PACKED fc1
+    geometry; e.g. the dual dx kernel contracts k=f, not k=f1)."""
+    return (t[0], _fit_tile(t[1], k), _fit_tile(t[2], n))
+
+
+def _fused_tilings(t1, t2, f: int, d: int):
+    """Per-kernel clamped tilings for the fused segment: (fc1-fwd, swiglu-
+    fwd, dy, dual-dx, dw2) — each clamped to its own (k, n) geometry."""
+    return (
+        t1[0],                               # fc1 gmm: k=d, n=f1 (as tuned)
+        _clamp_tiling(t2[0], f, d),          # gmm_swiglu: k=f, n=d
+        _clamp_tiling(t2[1], d, f),          # gmm_dy_swiglu: k=d, n=f
+        _clamp_tiling(t1[1], f, d),          # gmm_dual: k=f, n=d
+        _clamp_tiling(t2[2], f, d),          # tgmm_swiglu: k=f, n=d
+    )
+
+
+def _fused_swiglu_ok(t1, t2, f: int, d: int) -> bool:
+    """True when the fc1/fc2 geometry divides the fused kernels' (clamped)
+    tilings (ops/gmm_fused.py asserts regular tiling; irregular geometries
+    keep the plain _gmm + _swiglu_plain path)."""
+    if f % 128 != 0 or d % 128 != 0:
+        return False
+    _, ts, tdy, tdx, tdw = _fused_tilings(t1, t2, f, d)
+    return (f % ts[1] == 0 and d % ts[2] == 0
+            and d % tdy[1] == 0 and f % tdy[2] == 0
+            and f % tdx[1] == 0 and d % tdx[2] == 0
+            and f % tdw[1] == 0 and d % tdw[2] == 0)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _ffn_segment_swiglu(xs, w1, w2, group_sizes, dtype, t1, t2):
+    """The whole grouped expert FFN — fc1 → swiglu → fc2 — as ONE custom-VJP
+    segment built on the swiglu-fused grouped matmuls (ops/gmm_fused.py).
+
+    Forward: ``h = gmm(xs, w1)`` (packed [gate ++ up]), then
+    ``ys = gmm_swiglu(h, w2)`` — the gated activation ``y`` lives only in
+    kernel tiles, never HBM. Backward: ``dw2 = tgmm_swiglu`` (y recomputed in
+    the prologue), ``(dhg, dhu) = gmm_dy_swiglu`` (the swiglu backward in the
+    store epilogue — no dh concatenate, the round-4 trace's 0.82 ms/layer
+    pad+select pass), ``dxs = gmm_dual(dhg, dhu, w1ᵀ)`` (each cotangent half
+    contracts its own weight half, summing in the accumulator), and the dw1
+    halves re-join in one cheap (E, d, f1) concatenate. Residuals are
+    (xs, w1, w2, h) — y is gone from the saved set too (134 MB/layer at the
+    8x124m shapes), which also relieves the XLA remat pressure that was
+    re-running the jax-level swiglu forward every backward.
+
+    Tilings: ``t1`` = (fwd, dx, dw) for the fc1 geometry, ``t2`` for fc2 —
+    the same per-pass v5e-tuned tuples :func:`_sparse_tilings` feeds
+    :func:`_gmm`; the fused kernels inherit them pass-for-pass.
+    """
+    b = _mb_backend()
+    f, d = w2.shape[1], w2.shape[2]
+    tf1, ts, _, _, _ = _fused_tilings(t1, t2, f, d)
+    h = b.gmm(xs, w1, group_sizes, dtype, tf1)
+    from ..ops.gmm_fused import gmm_swiglu
+
+    return gmm_swiglu(h, w2, group_sizes, dtype, ts)
+
+
+def _ffn_segment_swiglu_fwd(xs, w1, w2, group_sizes, dtype, t1, t2):
+    b = _mb_backend()
+    from ..ops.gmm_fused import gmm_swiglu
+
+    f, d = w2.shape[1], w2.shape[2]
+    tf1, ts, _, _, _ = _fused_tilings(t1, t2, f, d)
+    h = b.gmm(xs, w1, group_sizes, dtype, tf1)
+    ys = gmm_swiglu(h, w2, group_sizes, dtype, ts)
+    return ys, (xs, w1, w2, h, group_sizes)
+
+
+def _ffn_segment_swiglu_bwd(dtype, t1, t2, res, g):
+    xs, w1, w2, h, group_sizes = res
+    b = _mb_backend()
+    from ..ops.gmm_fused import gmm_dual, gmm_dy_swiglu, tgmm_swiglu
+
+    f, d = w2.shape[1], w2.shape[2]
+    _, _, tdy, tdx, tdw = _fused_tilings(t1, t2, f, d)
+    dw2 = tgmm_swiglu(h, g, group_sizes, w2.dtype, tdw)
+    # explicit transposes (not transpose_rhs): contiguous normal-gmm layout,
+    # the parallel/moe._gmm dx trick (80 -> 163 TF/s measured round 3)
+    dhg, dhu = gmm_dy_swiglu(g, w2.swapaxes(1, 2), h, group_sizes,
+                             xs.dtype, tdy)
+    dxs = gmm_dual(dhg, dhu, w1.swapaxes(1, 2), group_sizes, xs.dtype, tdx)
+    td = t1[2]
+    tdw_half = (td[0], td[1], min(td[2], f))
+    dwg = b.tgmm(xs.swapaxes(0, 1), dhg, group_sizes, w1.dtype, tdw_half,
+                 num_actual_groups=w1.shape[0])
+    dwu = b.tgmm(xs.swapaxes(0, 1), dhu, group_sizes, w1.dtype, tdw_half,
+                 num_actual_groups=w1.shape[0])
+    dw1 = jnp.concatenate([dwg, dwu], axis=2)
+    return dxs, dw1, dw2, None
+
+
+_ffn_segment_swiglu.defvjp(_ffn_segment_swiglu_fwd, _ffn_segment_swiglu_bwd)
 
 
 def _counting_sort(flat_ids, n_experts: int):
@@ -482,15 +682,16 @@ def apply_moe_ffn_sparse(params: dict, cfg: TransformerConfig, x, *,
     t_tokens, d = xt.shape
     n_experts, _, f1 = params["fc1"]["weight"].shape
     f = params["fc2"]["weight"].shape[1]
-    logits, probs, sel, top_p = _route(params, cfg, xt, top_k)  # (T, k)
+    logits, probs, sel, top_p = _route(params, cfg, xt, top_k,
+                                       need_probs=aux is not None)  # (T, k)
     if aux is not None:
         aux.update(router_aux_from_route(logits, probs, sel))
 
     flat_ids = sel.reshape(-1)  # token-major claims: row t*k + j
     g_rows = t_tokens * top_k
     perm, inv, group_sizes = _counting_sort(flat_ids, n_experts)
-    t1 = _sparse_tilings(g_rows, d, f1)
-    t2 = _sparse_tilings(g_rows, f, d)
+    t1 = _sparse_tilings(g_rows, d, f1, cd)
+    t2 = _sparse_tilings(g_rows, f, d, cd)
     # every row-tile size in play must divide the padded row count
     tm = max(t1[0][0], t2[0][0], t1[1][0], t2[1][0], t1[2][0], t2[2][0])
     g_pad = (g_rows + tm - 1) // tm * tm
@@ -506,25 +707,22 @@ def apply_moe_ffn_sparse(params: dict, cfg: TransformerConfig, x, *,
             [src, jnp.zeros((g_pad - g_rows,), src.dtype)])
     xs = _dispatch_rows(xt.astype(cd), src_pad, inv, top_k)
 
-    # Gate weights in SORTED claim order, zero on pad rows. Scaling the fc1
-    # activation h by the gate is exact up to fp rounding order (everything
-    # downstream of h is linear) and rides the existing swiglu/activation
-    # elementwise pass — it deletes the separate (T,k)·(T,k,d) combine
-    # einsum operand AND makes pad rows contribute exactly zero.
-    gate_s = jnp.take(top_p.reshape(-1).astype(cd), perm)
-    if g_pad != g_rows:
-        gate_s = jnp.concatenate(
-            [gate_s, jnp.zeros((g_pad - g_rows,), gate_s.dtype)])
-
+    # Gate weights fold into the COMBINE gather-reduce (not the activation
+    # epilogue): the expert chain stays gate-free, so the swiglu epilogue
+    # can fuse into the grouped matmuls, and pad rows are inert because the
+    # [:g_rows] slice's transpose zero-pads their cotangent.
     w1 = params["fc1"]["weight"].astype(cd)  # (E, d, f1)
-    h = _gmm(xs, w1, group_sizes, cd, *t1)
-    if cfg.ffn_type.lower() == "swiglu":
-        h = jax.nn.silu(h[..., :f]) * h[..., f:] * gate_s[:, None]
-    else:
-        h = get_activation(cfg.activation)(h) * gate_s[:, None]
     w2 = params["fc2"]["weight"].astype(cd)  # (E, f, d)
-    ys = _gmm(h, w2, group_sizes, cd, *t2)[:g_rows]
-    out = _combine_rows(ys, inv, src, top_k)
+    if cfg.ffn_type.lower() == "swiglu" and _fused_swiglu_ok(t1, t2, f, d):
+        ys = _ffn_segment_swiglu(xs, w1, w2, group_sizes, cd, t1, t2)[:g_rows]
+    else:
+        h = _gmm(xs, w1, group_sizes, cd, *t1)
+        if cfg.ffn_type.lower() == "swiglu":
+            h = _swiglu_plain(h)
+        else:
+            h = get_activation(cfg.activation)(h)
+        ys = _gmm(h, w2, group_sizes, cd, *t2)[:g_rows]
+    out = _combine_rows(ys, top_p.astype(cd), inv, src, perm, top_k)
     return out.reshape(shape).astype(x.dtype)
 
 
@@ -645,7 +843,8 @@ def apply_moe_ffn_ep_sparse(params: dict, cfg: TransformerConfig, x, *,
     t_loc, d = x.shape
     e_loc, _, f1 = params["fc1"]["weight"].shape
     f = params["fc2"]["weight"].shape[1]
-    logits, probs, sel, top_p = _route(params, cfg, x, top_k)
+    logits, probs, sel, top_p = _route(params, cfg, x, top_k,
+                                       need_probs=aux is not None)
     if aux is not None:
         aux.update(router_aux_from_route(logits, probs, sel))
 
@@ -659,8 +858,8 @@ def apply_moe_ffn_ep_sparse(params: dict, cfg: TransformerConfig, x, *,
     # adds inert slots, it must not silently admit more claims.
     cap_req = capacity if capacity is not None else g_rows
     bucket = cap_req
-    t1 = _sparse_tilings(ep * bucket, d, f1)
-    t2 = _sparse_tilings(ep * bucket, f, d)
+    t1 = _sparse_tilings(ep * bucket, d, f1, cd)
+    t2 = _sparse_tilings(ep * bucket, f, d, cd)
     tm = max(t1[0][0], t2[0][0], t1[1][0], t2[1][0], t1[2][0], t2[2][0])
     while (ep * bucket) % tm:
         bucket += 1
@@ -698,7 +897,7 @@ def apply_moe_ffn_ep_sparse(params: dict, cfg: TransformerConfig, x, *,
     w1 = params["fc1"]["weight"].astype(cd)
     h = _gmm(xg, w1, gsz, cd, *t1)
     if cfg.ffn_type.lower() == "swiglu":
-        h = jax.nn.silu(h[..., :f]) * h[..., f:]
+        h = _swiglu_plain(h)
     else:
         h = get_activation(cfg.activation)(h)
     w2 = params["fc2"]["weight"].astype(cd)
