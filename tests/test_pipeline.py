@@ -272,3 +272,104 @@ def test_pipeline_checkpoint_interop(tmp_path):
     out_trained = apply_transformer(trained_flat, cfg, x)
     out_restored = apply_transformer(restored, cfg, x)
     assert np.array_equal(np.asarray(out_trained), np.asarray(out_restored))
+
+
+def test_pipeline_head_matmul_only_in_conditional_branches():
+    """The head-on-last-stage claim, asserted on the OPTIMIZED HLO: every
+    dot that touches the vocab dimension (the tied head fwd + its transpose)
+    must live in a computation reachable ONLY through ``conditional`` branch
+    computations — never on the unconditional while-body path every stage
+    executes every tick. (``compiled.cost_analysis()['flops']`` cannot show
+    this: XLA's static count includes untaken branches.)"""
+    vocab = 640  # distinctive: no other dim in the program is 640
+    cfg = TransformerConfig(
+        vocab_size=vocab, emb_type="dict", emb_dim=32, n_heads=2, n_layers=4,
+        seq_len=8, causal=True, pre_norm=True, weight_tying=True,
+        output_type="sequence_to_sequence", attn_bias=True, ffn_bias=True,
+        norm_bias=True, cls_token=False, pos_emb=True,
+        attn_impl="xla", norm_impl="xla",
+    )
+    params = init_transformer(jax.random.key(4), cfg)
+    rng = np.random.default_rng(7)
+    tokens = jnp.asarray(rng.integers(0, vocab, size=(4, 8)))
+    batch = (tokens, jnp.roll(tokens, -1, axis=1))
+
+    def lm_loss(logits, labels):
+        import optax
+        return optax.softmax_cross_entropy_with_integer_labels(
+            logits.astype(jnp.float32), labels).mean()
+
+    mesh = build_pipeline_mesh(pp=4, dp=1, devices=jax.devices()[:4])
+    tx, _ = build_optimizer({"optimizer": "sgd", "lr": 0.05})
+    step = make_pipeline_train_step(cfg, tx, mesh, n_micro=2, loss_fn=lm_loss,
+                                    grad_clip=1.0, donate=False)
+    state = init_train_state(stack_block_params(params), tx)
+    state = jax.device_put(state, pipeline_state_shardings(state, mesh))
+    hlo = step.lower(state, batch).compile().as_text()
+
+    # --- parse the HLO module into computations + a call graph -----------
+    import re
+
+    comps: dict[str, list[str]] = {}
+    cur = None
+    for line in hlo.splitlines():
+        m = re.match(r"^\s*(ENTRY\s+)?%?([\w\.\-]+)\s*\(.*\)\s*->.*\{\s*$",
+                     line)
+        if m:
+            cur = m.group(2)
+            comps[cur] = []
+            if m.group(1):
+                entry = cur
+            continue
+        if cur is not None:
+            if line.strip() == "}":
+                cur = None
+            else:
+                comps[cur].append(line)
+
+    assert comps, "failed to parse any HLO computations"
+    call_attr = re.compile(
+        r"(?:to_apply|calls|body|condition)=%?([\w\.\-]+)")
+    cond_attr = re.compile(
+        r"(?:true_computation|false_computation)=%?([\w\.\-]+)")
+    cond_brs = re.compile(r"branch_computations=\{([^}]*)\}")
+
+    def edges(name):
+        plain, cond = [], []
+        for line in comps[name]:
+            cond += cond_attr.findall(line)
+            for grp in cond_brs.findall(line):
+                cond += [t.strip().lstrip("%") for t in grp.split(",")]
+            is_conditional = "conditional(" in line
+            for tgt in call_attr.findall(line):
+                (cond if is_conditional else plain).append(tgt)
+        return ([t for t in plain if t in comps],
+                [t for t in cond if t in comps])
+
+    def reach(include_cond):
+        seen, stack = set(), [entry]
+        while stack:
+            n = stack.pop()
+            if n in seen:
+                continue
+            seen.add(n)
+            plain, cond = edges(n)
+            stack += plain + (cond if include_cond else [])
+        return seen
+
+    uncond = reach(False)
+    everything = reach(True)
+
+    # --- every vocab-dim dot must be conditional-only ---------------------
+    shape_640 = re.compile(r"\[(?:\d+,)*640(?:,\d+)*\]")
+    dotline = re.compile(r"\bdot\(|\$matmul")
+    n_head_dots = 0
+    for name, body in comps.items():
+        for line in body:
+            if dotline.search(line) and shape_640.search(line):
+                n_head_dots += 1
+                assert name in everything and name not in uncond, (
+                    f"vocab-head matmul on the unconditional path in "
+                    f"computation {name}: {line.strip()[:160]}")
+    # fwd head + (at least) dW/dh transposes must exist somewhere
+    assert n_head_dots >= 2, f"expected head dots in HLO, found {n_head_dots}"

@@ -30,19 +30,25 @@ Design (idiomatic JAX, not a port of any torch pipeline engine):
     ``grad_acc_steps=n_micro`` step (mean over microbatches) up to float
     reassociation — asserted in tests/test_pipeline.py.
 
-Cost model: the SPMD-uniform program runs the embed and head on EVERY stage
-each tick and selects the one real result (XLA cannot DCE through the
-device-varying ``where``). The waste is bounded by those two components'
-share of the model: ~3% per extra stage for ViT (patchify + tiny classifier
-head), but ~15% for GPT2's tied vocab head — a production GPT2 pipeline
-would want a dedicated head stage (or head-on-last-stage via an uneven
-program). The blocks — where the FLOPs are — run exactly once per
-microbatch per stage.
+Cost model: the program is SPMD-uniform, but the embed and the output head
+sit under ``lax.cond`` on the device-varying stage index, so at runtime only
+stage 0 executes the embed and only stage ``pp-1`` executes the head + loss
+(forward AND backward — cond transposes to cond). A ``jnp.where`` select
+here would evaluate both sides on every device every tick, which for GPT2's
+tied vocab head is ~15% of the model re-paid per extra stage; measured
+round 4 (CPU mesh, GPT2-tiny-shaped tied head E=256 V=8192, pp=4
+n_micro=8): the cond form cut the pipelined step ~1.5x wall-clock
+(14.5→9.5 s/step CPU, bit-identical loss), and the optimized HLO shows
+both vocab-head dots (fwd + transpose) ONLY inside ``conditional`` branch
+computations, vs unconditional while-body dots in the where form. (Note
+``compiled.cost_analysis()['flops']`` does NOT drop — XLA's static count
+includes untaken branches; the HLO placement is the proof.) The blocks —
+where the FLOPs are — run exactly once per microbatch per stage; the only
+remaining uniform waste is the bubble ``(pp-1)/(n_micro+pp-1)``.
 
-NaN hygiene: bubble ticks compute on placeholder data; every masked select
-(`stage-0 input`, `last-stage logits`) uses finite fill values so the zero
-cotangents of unselected branches never multiply a NaN (the classic
-``jnp.where`` gradient trap).
+NaN hygiene: bubble ticks compute on placeholder data; ``lax.cond`` executes
+only the taken branch, so placeholder activations never reach the head/loss
+(and there is no ``jnp.where`` zero-cotangent-times-NaN trap to guard).
 
 Composes with data parallelism on a ('dp', 'pp') mesh: the batch is sharded
 over 'dp' (replicated over 'pp'), gradients are ``pmean``'d over 'dp'.
@@ -229,24 +235,37 @@ def make_pipeline_train_step(
             # Stage-0 input: this tick's microbatch (clipped index during the
             # drain phase — its output never reaches the last stage in time
             # to be counted, and its gradient contribution is exactly zero).
+            # ``lax.cond`` (not ``jnp.where``): the predicate is decided at
+            # runtime per device, so non-0 stages never EXECUTE the embed —
+            # under a where every stage paid the patchify/token-embed every
+            # tick (XLA can't DCE through a device-varying select).
             mb = jax.lax.dynamic_index_in_dim(
                 xs, jnp.minimum(t, n_micro - 1), keepdims=False)
-            emb = embed(mb, r_emb)
-            x_in = jnp.where(stage == 0, emb, recv)
+            x_in = jax.lax.cond(stage == 0,
+                                lambda: embed(mb, r_emb), lambda: recv)
             y_out = stage_fn(params["blocks"], x_in, r_stage)
             # Last stage consumes microbatch t-(pp-1) once the pipe is full.
             mb_out = t - (pp - 1)
             valid = jnp.logical_and(stage == pp - 1, mb_out >= 0)
-            # Finite fill before the head/loss: a NaN in an unselected branch
-            # would leak through jnp.where's zero cotangent in backward.
-            logits = apply_output(
-                params["output"], cfg,
-                jnp.where(valid, y_out, jnp.zeros_like(y_out)),
-                emb_params=params["embedding"],
-                deterministic=False, rng=r_head)
             lbl = jax.lax.dynamic_index_in_dim(
                 ys, jnp.clip(mb_out, 0, n_micro - 1), keepdims=False)
-            loss_sum = loss_sum + jnp.where(valid, loss_fn(logits, lbl), 0.0)
+
+            # Head + loss under ``lax.cond``: only the last stage runs the
+            # output head (the GPT2 tied vocab matmul is ~15% of the model —
+            # the old always-execute-and-mask form paid it on EVERY stage
+            # every tick). The cond transposes to a cond on the same
+            # predicate, so the backward head matmuls are last-stage-only
+            # too, and the untaken branch contributes exact zeros (no
+            # jnp.where NaN-leak hygiene needed).
+            def head_loss():
+                logits = apply_output(
+                    params["output"], cfg, y_out,
+                    emb_params=params["embedding"],
+                    deterministic=False, rng=r_head)
+                return loss_fn(logits, lbl).astype(jnp.float32)
+
+            loss_sum = loss_sum + jax.lax.cond(
+                valid, head_loss, lambda: jnp.zeros((), jnp.float32))
             recv = jax.lax.ppermute(
                 y_out, "pp", [(i, (i + 1) % pp) for i in range(pp)])
             return (recv, loss_sum), None
