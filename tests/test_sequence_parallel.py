@@ -163,3 +163,199 @@ def test_sp_train_learns():
     assert losses[-1] < losses[0], f"no learning: {losses}"
     assert np.isfinite(losses).all()
     assert int(state.step) == 10
+
+
+# ---------------------------------------------------------------------------
+# Round-4 production upgrades: zigzag layout, chunked hops, grad-acc, dropout
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("zigzag,chunk", [(True, None), (True, 8), (False, 8)])
+def test_ring_attention_zigzag_chunk_matches_reference(zigzag, chunk):
+    """Zigzag layout and inner key-chunking are exact re-evaluations of the
+    same softmax attention (values in the permuted layout)."""
+    from vitef_tpu.parallel.sequence import zigzag_permutation
+
+    rng = np.random.default_rng(10)
+    n, h, l, d, sp = 2, 2, 64, 8, 4
+    q, k, v = (jnp.asarray(rng.normal(size=(n, h, l, d)).astype(np.float32))
+               for _ in range(3))
+    ref = attention_reference(q, k, v, causal=True)
+
+    perm = zigzag_permutation(l, sp) if zigzag else np.arange(l)
+    inv = np.argsort(perm)
+    mesh = build_sp_mesh(sp, devices=jax.devices()[:sp])
+    ring = jax.jit(jax.shard_map(
+        lambda *a: ring_attention(*a, causal=True, zigzag=zigzag, chunk=chunk),
+        mesh=mesh,
+        in_specs=(P(None, None, "sp"),) * 3,
+        out_specs=P(None, None, "sp"),
+        check_vma=False,
+    ))
+    got = ring(q[:, :, perm], k[:, :, perm], v[:, :, perm])[:, :, inv]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_ring_attention_zigzag_gradients_match_reference():
+    from vitef_tpu.parallel.sequence import zigzag_permutation
+
+    rng = np.random.default_rng(11)
+    n, h, l, d, sp = 1, 2, 64, 8, 4
+    q, k, v = (jnp.asarray(rng.normal(size=(n, h, l, d)).astype(np.float32))
+               for _ in range(3))
+    g = jnp.asarray(rng.normal(size=(n, h, l, d)).astype(np.float32))
+
+    def ref_loss(q, k, v):
+        return jnp.sum(attention_reference(q, k, v, causal=True) * g)
+
+    ref_grads = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+
+    perm = zigzag_permutation(l, sp)
+    inv = np.argsort(perm)
+    mesh = build_sp_mesh(sp, devices=jax.devices()[:sp])
+
+    def ring_loss(q, k, v, g):
+        # local scalar — no psum inside the differentiated function
+        return jnp.sum(ring_attention(q, k, v, causal=True, zigzag=True,
+                                      chunk=8) * g)
+
+    def per_shard(q, k, v, g):
+        return jax.grad(ring_loss, argnums=(0, 1, 2))(q, k, v, g)
+
+    spec = P(None, None, "sp")
+    grads = jax.jit(jax.shard_map(
+        per_shard, mesh=mesh, in_specs=(spec,) * 4,
+        out_specs=(spec,) * 3, check_vma=False))(
+            q[:, :, perm], k[:, :, perm], v[:, :, perm], g[:, :, perm])
+    for got, ref in zip(grads, ref_grads):
+        np.testing.assert_allclose(np.asarray(got)[:, :, inv],
+                                   np.asarray(ref), atol=1e-4)
+
+
+def test_sp_zigzag_train_step_matches_single_device():
+    """The zigzag step is the SAME optimization trajectory as the plain
+    single-device step (the loss is a position-wise mean, permutation
+    invariant)."""
+    import optax
+
+    cfg = lm_cfg(n_layers=2)
+    params = init_transformer(jax.random.key(5), cfg)
+    rng = np.random.default_rng(12)
+    tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(4, 32)))
+    labels = jnp.roll(tokens, -1, axis=1)
+
+    def lm_loss(logits, labels):
+        return optax.softmax_cross_entropy_with_integer_labels(
+            logits.astype(jnp.float32), labels).mean()
+
+    apply_fn = lambda p, x, **kw: apply_transformer(p, cfg, x, **kw)
+    tx_ref, _ = build_optimizer({"optimizer": "sgd", "lr": 0.05,
+                                 "momentum": 0.9},
+                                params=params, components=[], grad_clip=1.0)
+    ref_step = make_train_step(apply_fn, tx_ref, loss_fn=lm_loss, donate=False)
+    ref_state = init_train_state(params, tx_ref)
+    ref_state, ref_m = ref_step(ref_state, (tokens, labels))
+
+    mesh = build_sp_mesh(4, devices=jax.devices()[:4])
+    tx, _ = build_optimizer({"optimizer": "sgd", "lr": 0.05, "momentum": 0.9})
+    step = make_sp_train_step(cfg, tx, mesh, grad_clip=1.0, donate=False,
+                              zigzag=True, chunk=8)
+    state = init_train_state(params, tx)
+    state, m = step(state, (tokens, labels))
+
+    assert np.allclose(float(m["loss"]), float(ref_m["loss"]), atol=1e-5)
+    for a, b in zip(jax.tree.leaves(ref_state.params),
+                    jax.tree.leaves(state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_sp_grad_accumulation_matches_plain():
+    """grad_acc_steps=2 gives the same update as the full-batch sp step
+    (mean-of-microbatch grads == full-batch grad, up to reassociation)."""
+    cfg = lm_cfg(n_layers=2)
+    params = init_transformer(jax.random.key(6), cfg)
+    rng = np.random.default_rng(13)
+    tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(4, 32)))
+    labels = jnp.roll(tokens, -1, axis=1)
+    mesh = build_sp_mesh(4, devices=jax.devices()[:4])
+
+    def run(acc):
+        tx, _ = build_optimizer({"optimizer": "sgd", "lr": 0.05,
+                                 "momentum": 0.9})
+        step = make_sp_train_step(cfg, tx, mesh, grad_clip=1.0, donate=False,
+                                  zigzag=True, chunk=8, grad_acc_steps=acc)
+        state = init_train_state(params, tx)
+        state, m = step(state, (tokens, labels))
+        return state, m
+
+    s1, m1 = run(1)
+    s2, m2 = run(2)
+    assert np.allclose(float(m1["loss"]), float(m2["loss"]), atol=1e-6)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_sp_dropout_runs_and_is_deterministic_per_key():
+    """Dropout in the sp step: same key → same loss; different key →
+    different loss; no rng → the deterministic forward."""
+    cfg = lm_cfg(n_layers=2, dropout=0.5)
+    params = init_transformer(jax.random.key(7), cfg)
+    rng = np.random.default_rng(14)
+    tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(4, 32)))
+    labels = jnp.roll(tokens, -1, axis=1)
+    mesh = build_sp_mesh(4, devices=jax.devices()[:4])
+    tx, _ = build_optimizer({"optimizer": "sgd", "lr": 0.0})
+    step = make_sp_train_step(cfg, tx, mesh, donate=False, zigzag=True,
+                              chunk=8)
+    state = init_train_state(params, tx)
+
+    _, m_det = step(state, (tokens, labels))
+    _, m_a = step(state, (tokens, labels), jax.random.key(0))
+    _, m_a2 = step(state, (tokens, labels), jax.random.key(0))
+    _, m_b = step(state, (tokens, labels), jax.random.key(1))
+    assert float(m_a["loss"]) == float(m_a2["loss"])
+    assert float(m_a["loss"]) != float(m_b["loss"])
+    assert float(m_a["loss"]) != float(m_det["loss"])
+    assert np.isfinite(float(m_a["loss"]))
+
+
+def test_ring_attention_chunk_bounds_live_scores():
+    """The memory contract: with chunking, NO f32 intermediate of the hop
+    has Lloc×Lloc elements — the biggest score tensor is (N, h, Lloc, chunk)
+    (VERDICT r3 #6's 'peak live per hop independent of Lloc² in f32')."""
+    n, h, lq, d, sp, chunk = 1, 1, 128, 8, 4, 16
+    l = lq * sp
+    rng = np.random.default_rng(15)
+    q, k, v = (jnp.asarray(rng.normal(size=(n, h, l, d)).astype(np.float32))
+               for _ in range(3))
+    mesh = build_sp_mesh(sp, devices=jax.devices()[:sp])
+    fn = jax.shard_map(
+        lambda *a: ring_attention(*a, causal=True, chunk=chunk),
+        mesh=mesh, in_specs=(P(None, None, "sp"),) * 3,
+        out_specs=P(None, None, "sp"), check_vma=False)
+    jaxpr = jax.make_jaxpr(fn)(q, k, v)
+
+    def walk(jx):
+        for eqn in jx.eqns:
+            for var in eqn.outvars:
+                aval = var.aval
+                if getattr(aval, "dtype", None) == jnp.float32:
+                    yield aval
+            for val in eqn.params.values():
+                for sub in _subjaxprs(val):
+                    yield from walk(sub)
+
+    def _subjaxprs(val):
+        import jax.extend.core as jcore
+        if isinstance(val, jcore.ClosedJaxpr):
+            yield val.jaxpr
+        elif isinstance(val, jcore.Jaxpr):
+            yield val
+        elif isinstance(val, (tuple, list)):
+            for item in val:
+                yield from _subjaxprs(item)
+
+    sizes = [int(np.prod(a.shape)) for a in walk(jaxpr.jaxpr)]
+    # scores at full block size would be n*h*lq*lq = 16384; chunked is 2048
+    assert max(sizes) < n * h * lq * lq, max(sizes)
+    assert max(sizes) <= 4 * n * h * lq * chunk, max(sizes)
