@@ -21,3 +21,16 @@ Layer map (mirrors reference `src/vitef`, redesigned TPU-first):
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if _os.environ.get("VITEF_PLATFORM"):
+    # Backend pin for SUBPROCESS tooling (tools/parity_gate.py, CI harnesses):
+    # the axon TPU plugin in this image ignores the standard JAX_PLATFORMS
+    # env var, and jax.config.update("jax_platforms", ...) only works before
+    # backend init — this package is imported by every app entry before any
+    # device touch, so the pin lands in time. No effect when the var is unset
+    # (the normal TPU path).
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["VITEF_PLATFORM"])
