@@ -120,10 +120,23 @@ def gate_env(workdir: Path, tpu: bool, devices: int = 8) -> dict:
     return env
 
 
-def run(argv: list[str], env: dict, tag: str) -> None:
+STAGE_TIMEOUT = 900.0  # per-subprocess wall bound; --stage-timeout overrides
+
+
+def run(argv: list[str], env: dict, tag: str,
+        timeout: float | None = None) -> None:
+    timeout = STAGE_TIMEOUT if timeout is None else timeout
     print(f"[parity_gate] {tag}: {' '.join(argv[:4])} ...", flush=True)
-    proc = subprocess.run(argv, env=env, cwd=REPO, capture_output=True,
-                          text=True)
+    try:
+        proc = subprocess.run(argv, env=env, cwd=REPO, capture_output=True,
+                              text=True, timeout=timeout)
+    except subprocess.TimeoutExpired as e:
+        out = (e.stdout or b"")[-4000:]
+        sys.stderr.write(out.decode("utf-8", "replace")
+                         if isinstance(out, bytes) else out)
+        raise RuntimeError(
+            f"stage {tag!r} timed out after {timeout:.0f}s "
+            "(wedged subprocess — TPU-tunnel contention?)") from e
     if proc.returncode != 0:
         sys.stderr.write(proc.stdout[-4000:])
         sys.stderr.write(proc.stderr[-4000:])
@@ -152,7 +165,11 @@ def main() -> None:
                          "single-device path, much faster compiles)")
     ap.add_argument("--keep", action="store_true",
                     help="keep the workdir (default: delete temp dirs)")
+    ap.add_argument("--stage-timeout", type=float, default=900.0,
+                    help="per-subprocess wall bound in seconds")
     args = ap.parse_args()
+    global STAGE_TIMEOUT
+    STAGE_TIMEOUT = args.stage_timeout
 
     seeds = [int(s) for s in args.seeds.split(",")]
     lrs = args.lrs.split(",")
@@ -256,7 +273,8 @@ def main() -> None:
             print("PARITY_GATE_AGG " + json.dumps(out))
         """)
         proc = subprocess.run([sys.executable, "-c", snippet], env=env,
-                              cwd=REPO, capture_output=True, text=True)
+                              cwd=REPO, capture_output=True, text=True,
+                              timeout=STAGE_TIMEOUT)
         if proc.returncode != 0:
             sys.stderr.write(proc.stdout[-4000:] + proc.stderr[-4000:])
             raise RuntimeError("stage csv+table failed")

@@ -33,4 +33,22 @@ if _os.environ.get("VITEF_PLATFORM"):
     # (the normal TPU path).
     import jax as _jax
 
-    _jax.config.update("jax_platforms", _os.environ["VITEF_PLATFORM"])
+    _want = _os.environ["VITEF_PLATFORM"]
+    try:  # detect a backend initialized BEFORE this import (pin = no-op then)
+        from jax._src import xla_bridge as _xb
+
+        _already_initialized = bool(getattr(_xb, "_backends", None))
+    except Exception:  # pragma: no cover — jax internals moved
+        _already_initialized = False
+    if _already_initialized:
+        _got = _jax.default_backend()
+        if _got != _want:
+            raise RuntimeError(
+                f"VITEF_PLATFORM={_want!r} requested, but the jax backend "
+                f"was already initialized to {_got!r} before vitef_tpu was "
+                "imported — the platform pin cannot take effect (a 'cpu' "
+                "gate would silently run over the TPU tunnel). Import "
+                "vitef_tpu before any jax device use in this process."
+            )
+    else:
+        _jax.config.update("jax_platforms", _want)

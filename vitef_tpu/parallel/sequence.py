@@ -126,6 +126,12 @@ def _attend_block(qf, qpos, kseg, vseg, kpos, state, *, causal: bool,
             scores = jnp.where(mask, scores, _NEG_INF)
         m_new = jnp.maximum(m, jnp.max(scores, axis=-1, keepdims=True))
         p = jnp.exp(scores - m_new)
+        if causal:
+            # A fully-masked chunk leaves m_new at the _NEG_INF init, where
+            # exp(scores - m_new) = exp(0) = 1 for every masked score — zero
+            # the masked probabilities explicitly so correctness never rests
+            # on hop ordering (every visit order is valid by construction).
+            p = jnp.where(mask, p, 0.0)
         corr = jnp.exp(m - m_new)
         s = s * corr + jnp.sum(p, axis=-1, keepdims=True)
         pv = jnp.einsum("nhqk,nhkd->nhqd", p, vc.astype(jnp.float32),
@@ -374,6 +380,10 @@ def make_sp_train_step(
             loss, grads = jax.value_and_grad(local_loss)(
                 state.params, tokens, labels, r)
         else:
+            assert tokens.shape[0] % grad_acc_steps == 0, (
+                f"batch size {tokens.shape[0]} must be divisible by "
+                f"grad_acc_steps={grad_acc_steps} (equal microbatches keep "
+                "the accumulated step exact)")
             nb = tokens.shape[0] // grad_acc_steps
             toks = tokens.reshape(grad_acc_steps, nb, -1)
             labs = labels.reshape(grad_acc_steps, nb, -1)
