@@ -291,3 +291,49 @@ def test_moe_serve_cli(monkeypatch, capsys, tmp_path):
                    jnp.asarray([[3, 1, 4, 1, 5]], jnp.int32), 4,
                    temperature=0.0)
     assert lines[0]["tokens"] == [int(t) for t in np.asarray(ref[0])]
+
+
+def test_gpt2_serve_cli_wave_matches_continuous(monkeypatch, capsys,
+                                                tmp_path, caplog):
+    """--mode wave (RTT-aware default's high-latency pick) serves greedy
+    outputs token-for-token identical to --mode continuous; --mode auto
+    measures the dispatch RTT and logs its decision."""
+    import json
+    import logging
+    import sys
+
+    reqs = tmp_path / "requests.jsonl"
+    payload = "\n".join(json.dumps(r) for r in [
+        {"token_ids": [3, 1, 4, 1, 5], "max_new_tokens": 4},
+        {"token_ids": [9, 2, 6], "max_new_tokens": 3},
+        {"token_ids": [5, 3], "max_new_tokens": 5},
+    ])
+    reqs.write_text(payload)
+    from apps.gpt2.serve import main
+
+    outs = {}
+    for mode in ("wave", "continuous"):
+        monkeypatch.setattr(sys, "argv", [
+            "serve", "run", "--requests", str(reqs), "--n_slots", "2",
+            "--max_len", "64", "--bucket", "8", "--temperature", "0.0",
+            "--pretrained", "False", "--eos", "False",
+            "--compute_dtype", "float32", "--mode", mode])
+        main()
+        outs[mode] = [json.loads(l) for l in
+                      capsys.readouterr().out.splitlines()
+                      if l.strip().startswith("{")]
+    assert outs["wave"] == outs["continuous"]
+    assert [len(r["tokens"]) for r in outs["wave"]] == [4, 3, 5]
+
+    # auto mode: decision + measured RTT are logged
+    monkeypatch.setattr(sys, "argv", [
+        "serve", "run", "--requests", str(reqs), "--n_slots", "2",
+        "--max_len", "64", "--bucket", "8", "--temperature", "0.0",
+        "--pretrained", "False", "--eos", "False",
+        "--compute_dtype", "float32"])
+    with caplog.at_level(logging.INFO):
+        main()
+    capsys.readouterr()
+    decision = [r.message for r in caplog.records
+                if "serving mode:" in r.message]
+    assert decision and "RTT" in decision[0], decision

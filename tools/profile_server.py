@@ -23,6 +23,13 @@ Adds a third comparator — the DecodeServer with the prefix REGISTERED
 (``register_prefix``: prefill once, copy K/V per admission) vs the same
 server re-prefilling [prefix ++ prompt] per admission — and checks the
 outputs are token-for-token equal.
+
+``--spec [gamma]``: speculative continuous batching — the same workload
+through a DecodeServer with a 2-layer draft (``--trained`` loads the
+distilled pair from tools/distill_spec_pair.py for real partial acceptance;
+random weights otherwise = the degenerate ~100%-acceptance ceiling).
+Asserts spec outputs == plain server outputs, reports tokens/round and the
+dispatch counts that set the tunnel wall clock.
 """
 import os
 import sys
@@ -43,6 +50,18 @@ if "--prefix" in sys.argv:
     i = sys.argv.index("--prefix")
     PREFIX = int(sys.argv[i + 1])
     del sys.argv[i:i + 2]
+SPEC = 0
+if "--spec" in sys.argv:
+    i = sys.argv.index("--spec")
+    if len(sys.argv) > i + 1 and sys.argv[i + 1].isdigit():
+        SPEC = int(sys.argv[i + 1])
+        del sys.argv[i:i + 2]
+    else:
+        SPEC = 4
+        del sys.argv[i]
+TRAINED = "--trained" in sys.argv
+if TRAINED:
+    sys.argv.remove("--trained")
 N_SLOTS = int(sys.argv[1]) if len(sys.argv) > 1 else 8
 N_REQ = int(sys.argv[2]) if len(sys.argv) > 2 else 32
 WINDOW = int(sys.argv[3]) if len(sys.argv) > 3 else 8
@@ -50,6 +69,9 @@ MAX_LEN = 256 + PREFIX
 
 PREFIX_TOKENS = np.random.default_rng(99).integers(
     0, 50257, size=(PREFIX,)).tolist()
+# --trained pairs were distilled on a 2048-token Markov support; prompts
+# outside it give meaningless acceptance (profile_speculative.py does the same)
+DRAW = 2048 if TRAINED else 50257
 
 
 def make_requests(seed=0, shared_prefix=None, concat=False):
@@ -61,7 +83,7 @@ def make_requests(seed=0, shared_prefix=None, concat=False):
     for _ in range(N_REQ):
         plen = int(rng.integers(16, 121))
         mnew = int(rng.integers(16, 97))
-        prompt = rng.integers(0, 50257, size=(plen,)).tolist()
+        prompt = rng.integers(0, DRAW, size=(plen,)).tolist()
         reqs.append(Request(
             prompt=PREFIX_TOKENS + prompt if concat else prompt,
             prefix=shared_prefix, max_new_tokens=mnew))
@@ -122,8 +144,77 @@ def run_continuous(params, cfg, requests):
     return [r.tokens for r in requests], time.perf_counter() - t0, _srv.steps
 
 
+def gpt2ish(layers, seed):
+    """GPT2-small-shaped decoder (the distill_spec_pair.py construction)."""
+    return build_model(dict(
+        implementation="transformer", vocab_size=50257, emb_type="dict",
+        emb_dim=768, n_heads=12, n_layers=layers, seq_len=1024, causal=True,
+        pre_norm=True, weight_tying=True, output_type="sequence_to_sequence",
+        attn_bias=True, ffn_bias=True, norm_bias=True,
+        compute_dtype="bfloat16"), key=jax.random.key(seed))
+
+
+_spec_srv = None
+
+
+def run_spec(params, cfg, dparams, dcfg, requests):
+    global _spec_srv
+    if _spec_srv is None:
+        _spec_srv = DecodeServer(
+            params, cfg, n_slots=N_SLOTS, max_len=MAX_LEN, bucket=64,
+            harvest_every=WINDOW, draft_params=dparams, draft_cfg=dcfg,
+            gamma=SPEC)
+    _spec_srv.reset()
+    t0 = time.perf_counter()
+    _spec_srv.serve(requests)
+    return [r.tokens for r in requests], time.perf_counter() - t0, _spec_srv
+
+
+def spec_main():
+    """Speculative continuous batching vs the plain slot server + waves."""
+    target, draft = gpt2ish(12, 0), gpt2ish(2, 7)
+    if TRAINED:
+        from vitef_tpu.config import MODEL_DIR
+        from vitef_tpu.monitor.checkpoint import _unflatten_like
+
+        pair_dir = MODEL_DIR / "spec_pair"
+        for model, name in ((target, "target"), (draft, "draft")):
+            with np.load(pair_dir / f"{name}.npz") as z:
+                flat = {k: z[k] for k in z.files}
+            model.params = jax.device_put(_unflatten_like(model.params, flat))
+        print("using distilled target/draft pair "
+              "(tools/distill_spec_pair.py)", flush=True)
+    params, cfg = target.params, target.config
+
+    # warm every shape bucket (compiles over the tunnel), then time hot
+    run_continuous(params, cfg, make_requests())
+    run_spec(params, cfg, draft.params, draft.config, make_requests())
+    run_waves(params, cfg, make_requests())
+
+    reqs = make_requests()
+    useful = sum(r.max_new_tokens for r in reqs)
+    w_out, w_dt, w_ticks = run_waves(params, cfg, make_requests())
+    c_out, c_dt, c_ticks = run_continuous(params, cfg, make_requests())
+    s_out, s_dt, srv = run_spec(params, cfg, draft.params, draft.config,
+                                reqs)
+    match = all(a == b for a, b in zip(c_out, s_out))
+    tpr = srv.spec_committed / max(srv.spec_rounds, 1)
+    print(f"requests={N_REQ} slots={N_SLOTS} window={WINDOW} gamma={SPEC} "
+          f"useful_tokens={useful} spec-outputs-equal={match}")
+    print(f"waves:           {w_dt:6.1f}s  {useful / w_dt:8.0f} tok/s  "
+          f"dispatches={-(-len(reqs) // N_SLOTS):4d}")
+    print(f"continuous:      {c_dt:6.1f}s  {useful / c_dt:8.0f} tok/s  "
+          f"ticks={c_ticks:4d}  dispatches={c_ticks // WINDOW:4d}")
+    print(f"spec continuous: {s_dt:6.1f}s  {useful / s_dt:8.0f} tok/s  "
+          f"rounds={srv.spec_rounds:4d}  committed={srv.spec_committed} "
+          f"tokens/round={tpr:.2f}  "
+          f"dispatches={srv.spec_rounds // WINDOW:4d}")
+
+
 def main():
     assert jax.default_backend() == "tpu", jax.default_backend()
+    if SPEC:
+        return spec_main()
     model = build_model(dict(implementation="gpt2", model_name="base",
                              pretrained=False, compute_dtype="bfloat16"),
                         key=jax.random.key(0))

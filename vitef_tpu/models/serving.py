@@ -151,6 +151,191 @@ def _make_window_fn(cfg: TransformerConfig, temperature, top_k, top_p,
     return jax.jit(run_window, donate_argnums=(1,))
 
 
+def _attend_window_slots(q, k_cache, v_cache, n_heads: int, pos):
+    """W-query attention against the slot cache pool, PER-SLOT positions.
+
+    ``q``: (S, W, E); caches (S, kvh, Lmax, d) with the window's own K/V
+    already written at each slot's [pos[s], pos[s]+W). Query w of slot s sees
+    cache indices <= pos[s] + w. fp32 softmax like the one-token path.
+    """
+    import math as _math
+
+    from ..ops.common import best_precision
+
+    s, w, e = q.shape
+    kvh = k_cache.shape[1]
+    g = n_heads // kvh
+    d = e // n_heads
+    lmax = k_cache.shape[2]
+    qh = q.reshape(s, w, kvh, g, d).transpose(0, 2, 3, 1, 4)  # (S,kvh,g,W,d)
+    scores = jnp.einsum("skgwd,skKd->skgwK", qh, k_cache,
+                        precision=best_precision(qh, k_cache),
+                        preferred_element_type=jnp.float32)
+    scores = scores * (1.0 / _math.sqrt(d))
+    valid = (jnp.arange(lmax)[None, None, :]
+             <= (pos[:, None] + jnp.arange(w)[None, :])[:, :, None])  # (S,W,L)
+    scores = jnp.where(valid[:, None, None], scores, -1e30)
+    weights = jax.nn.softmax(scores, axis=-1).astype(v_cache.dtype)
+    out = jnp.einsum("skgwK,skKd->skgwd", weights, v_cache,
+                     precision=best_precision(weights, v_cache),
+                     preferred_element_type=jnp.float32).astype(q.dtype)
+    # (S, kvh, g, W, d) -> (S, W, E) in head-major order
+    return out.reshape(s, n_heads, w, d).transpose(0, 2, 1, 3).reshape(s, w, e)
+
+
+def _block_decode_window_slots(bp: dict, cfg: TransformerConfig, x,
+                               layer_cache, pos):
+    """W-token block step writing each slot's K/V at [pos[s], pos[s]+W)."""
+    cd = cfg.cdtype()
+    s, w, e = x.shape
+
+    def attn(x_in):
+        from .transformer import split_qkv
+
+        d = cfg.head_dim
+        qkv = _linear(bp["attn"]["qkv_mat"], x_in, cd)
+        q, k, v = split_qkv(cfg, qkv)
+        if cfg.uses_rope:
+            from .generation import _rope_cos_sin
+            from .rope import apply_rope
+
+            positions = pos[:, None] + jnp.arange(w)[None, :]  # (S, W)
+            cos, sin = _rope_cos_sin(cfg, positions)  # (S, W, d/2)
+            cs = (cos[:, :, None], sin[:, :, None])  # over (S, W, heads, d)
+            q = apply_rope(q.reshape(s, w, cfg.n_heads, d), *cs).reshape(
+                s, w, e)
+            k = apply_rope(k.reshape(s, w, cfg.n_kv_heads, d), *cs).reshape(
+                s, w, -1)
+        kh = k.reshape(s, w, cfg.n_kv_heads, d)
+        vh = v.reshape(s, w, cfg.n_kv_heads, d)
+        # scatter W cells per slot: cache[s, :, pos[s]+w, :] = kh[s, w]
+        idx_s = jnp.broadcast_to(jnp.arange(s)[:, None], (s, w))[..., None]
+        idx_l = (pos[:, None] + jnp.arange(w)[None, :])[..., None]
+        idx_h = jnp.arange(cfg.n_kv_heads)[None, None, :]
+        cache = {
+            "k": layer_cache["k"].at[idx_s, idx_h, idx_l].set(
+                kh.astype(layer_cache["k"].dtype)),
+            "v": layer_cache["v"].at[idx_s, idx_h, idx_l].set(
+                vh.astype(layer_cache["v"].dtype)),
+        }
+        z = _attend_window_slots(q, cache["k"], cache["v"], cfg.n_heads, pos)
+        return _linear(bp["attn"]["output"], z, cd), cache
+
+    if cfg.pre_norm:
+        att, cache = attn(_norm(bp["attn_norm"], cfg, x))
+        out = x + att
+        out = out + _ffn(bp["ffn"], cfg, _norm(bp["ffn_norm"], cfg, out))
+    else:
+        att, cache = attn(x)
+        out = _norm(bp["attn_norm"], cfg, x + att)
+        out = _norm(bp["ffn_norm"], cfg, out + _ffn(bp["ffn"], cfg, out))
+    return out, cache
+
+
+def _forward_window_slots(params, cfg: TransformerConfig, tokens, cache, pos):
+    """Verify pass over all slots: (S, W) tokens at positions [pos[s], +W).
+
+    Returns ((S, W, V) fp32 logits, updated cache)."""
+    cd = cfg.cdtype()
+    emb = params["embedding"]
+    x = embed_rows(emb["token_emb"], tokens, cd)
+    if cfg.pos_emb:
+        positions = pos[:, None] + jnp.arange(tokens.shape[1])[None, :]
+        x = x + emb["pos_emb"][0][positions].astype(cd)
+    new_cache = []
+    for i, bp in enumerate(params["blocks"]):
+        x, lc = _block_decode_window_slots(bp, cfg, x, cache[i], pos)
+        new_cache.append(lc)
+    return _logits(params, cfg, x), new_cache
+
+
+def _make_spec_window_fn(cfg: TransformerConfig, draft_cfg: TransformerConfig,
+                         gamma: int, eos_id, rounds: int):
+    """``rounds`` speculative draft-and-verify rounds over ALL slots in ONE
+    device program (the continuous-batching composition of
+    models/speculative.py — greedy acceptance, per-slot commit pointers).
+
+    Each round: the draft model proposes ``gamma`` tokens per slot
+    (gamma+1 one-token slot steps — the last SAMPLE is discarded but its K/V
+    write is load-bearing, exactly like the batch-1 path), the target
+    verifies all slots in one (S, gamma+1)-query windowed forward, and each
+    slot commits its longest matching prefix plus the target's correction.
+    Rollback of rejected proposals is free: the per-slot ``pos`` just doesn't
+    advance past the accepted prefix and stale cells are masked until
+    overwritten by a later round (idx-vs-pos, both caches).
+
+    Budget (``pos < limit``) and EOS cut the commit ON-DEVICE mid-round, so
+    a slot never decodes past its request — the host applies the returned
+    per-round commit counts verbatim. Greedy only: the emitted stream is
+    token-for-token the target model's own greedy continuation (the
+    models/speculative.py invariant, asserted per-request in tests).
+    """
+    w = gamma + 1
+
+    def spec_round(params, dparams, cache, dcache, token, pos, act, limit):
+        s = token.shape[0]
+
+        # -- draft: gamma+1 one-token slot steps from `token` at index pos
+        def draft_step(carry, i):
+            dcache, tok = carry
+            x = _embed_token(dparams, draft_cfg, tok, pos + i)
+            new = []
+            for li, bp in enumerate(dparams["blocks"]):
+                x, lc = _block_decode_slots(bp, draft_cfg, x, dcache[li],
+                                            pos + i)
+                new.append(lc)
+            logits = _logits(dparams, draft_cfg, x)  # (S, V)
+            g = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return (new, g), g
+
+        (dcache, _), g_all = jax.lax.scan(
+            draft_step, (dcache, token), jnp.arange(gamma + 1))
+        g = g_all[:gamma].T  # (S, gamma)
+
+        # -- target: ONE windowed forward over [token, g_1..g_gamma] --------
+        window = jnp.concatenate([token[:, None], g], axis=1)  # (S, W)
+        logits, cache = _forward_window_slots(params, cfg, window, cache, pos)
+        t = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (S, W)
+
+        # greedy acceptance: longest matching prefix + the correction token
+        matches = (g == t[:, :gamma]).astype(jnp.int32)  # (S, gamma)
+        a = jnp.sum(jnp.cumprod(matches, axis=1), axis=1)  # (S,)
+        emit = jnp.where(jnp.arange(w)[None, :] < a[:, None],
+                         jnp.concatenate(
+                             [g, jnp.zeros((s, 1), jnp.int32)], axis=1),
+                         t)  # (S, W)
+
+        # commit count: acceptance, cut by per-slot budget, cut at EOS
+        n_emit = jnp.where(act, jnp.minimum(a + 1,
+                                            jnp.maximum(limit - pos, 0)), 0)
+        if eos_id is not None:
+            is_eos = emit == eos_id
+            first_eos = jnp.argmax(is_eos, axis=1)  # 0 when none
+            has_eos = jnp.any(is_eos, axis=1)
+            cut = jnp.where(has_eos, first_eos + 1, w)
+            n_emit = jnp.minimum(n_emit, cut)
+            act = jnp.logical_and(
+                act, ~(has_eos & (first_eos < n_emit)))  # freeze after EOS
+        pos = pos + n_emit
+        last = jnp.take_along_axis(
+            emit, jnp.maximum(n_emit, 1)[:, None] - 1, axis=1)[:, 0]
+        token = jnp.where(n_emit > 0, last, token)
+        return cache, dcache, token, pos, act, emit, n_emit
+
+    def run_window(params, dparams, cache, dcache, token, pos, active, limit):
+        def body(carry, _):
+            cache, dcache, token, pos, act = carry
+            cache, dcache, token, pos, act, emit, n_emit = spec_round(
+                params, dparams, cache, dcache, token, pos, act, limit)
+            return (cache, dcache, token, pos, act), (emit, n_emit)
+
+        (cache, dcache, token, pos, _), (emits, counts) = jax.lax.scan(
+            body, (cache, dcache, token, pos, active), None, length=rounds)
+        return cache, dcache, token, pos, emits, counts  # (R,S,W), (R,S)
+
+    return jax.jit(run_window, donate_argnums=(2, 3))
+
+
 def _make_admit_prefix_fn(cfg: TransformerConfig):
     """Admission with a PRECOMPUTED shared prefix (prefix caching).
 
@@ -332,13 +517,24 @@ class DecodeServer:
     psums. Outputs are token-for-token the single-device server's (tested
     on the CPU mesh; the model must already fit TP: n_heads % tp == 0,
     n_slots % dp == 0). Composes with int8 weights and prefix caching.
+
+    ``draft_params``/``draft_cfg``: speculative continuous batching — every
+    window becomes ``harvest_every`` draft-and-verify rounds over all slots
+    (``gamma`` proposals each; see :func:`_make_spec_window_fn`). Greedy
+    only (``temperature == 0`` — the mode with the exactness guarantee);
+    admission additionally prefills the draft model's slot cache. Outputs
+    stay token-for-token identical to the non-speculative server (tested).
+    Not composable with ``register_prefix`` (the draft cache would need its
+    own prefix prefill; unsupported, asserted at admission).
     """
 
     def __init__(self, params, cfg: TransformerConfig, *, n_slots: int,
                  max_len: int | None = None, temperature: float = 0.0,
                  top_k: int | None = None, top_p: float | None = None,
                  eos_token_id: int | None = None, bucket: int = 64,
-                 harvest_every: int = 8, rng=None, mesh=None):
+                 harvest_every: int = 8, rng=None, mesh=None,
+                 draft_params=None, draft_cfg: TransformerConfig | None = None,
+                 gamma: int = 4):
         _check_decoder(cfg)
         self.params, self.cfg = params, cfg
         self.n_slots = n_slots
@@ -402,6 +598,35 @@ class DecodeServer:
         self._prefixes: dict[int, dict] = {}
         self.prefill_tokens_saved = 0  # telemetry: prefix tokens not recomputed
 
+        # speculative continuous batching (draft model over the same slots)
+        self._spec = draft_params is not None
+        self.spec_rounds = 0      # telemetry: draft-and-verify rounds run
+        self.spec_committed = 0   # telemetry: tokens committed by those rounds
+        if self._spec:
+            assert draft_cfg is not None
+            _check_decoder(draft_cfg)
+            assert temperature == 0.0, (
+                "speculative serving is greedy-only (the mode with the "
+                "exact standalone-generate() equivalence guarantee)")
+            assert draft_cfg.vocab_size == cfg.vocab_size
+            assert gamma >= 1
+            self.gamma = gamma
+            self._draft_params, self._draft_cfg = draft_params, draft_cfg
+            dd = draft_cfg.head_dim
+            self._draft_cache = [
+                {"k": jnp.zeros((n_slots, draft_cfg.n_kv_heads, self.max_len,
+                                 dd), draft_cfg.cdtype()),
+                 "v": jnp.zeros((n_slots, draft_cfg.n_kv_heads, self.max_len,
+                                 dd), draft_cfg.cdtype())}
+                for _ in range(draft_cfg.n_layers)
+            ]
+            assert mesh is None, (
+                "speculative serving is the single-device latency/throughput "
+                "path (shard the target alone for multi-chip)")
+            self._draft_admit_fn = _make_admit_fn(draft_cfg)
+            self._spec_window_fn = _make_spec_window_fn(
+                cfg, draft_cfg, gamma, eos_token_id, self.window)
+
     def reset(self, rng=None) -> None:
         """Clear all slots (compiled step/admit closures stay hot).
 
@@ -413,6 +638,8 @@ class DecodeServer:
         self.active = [False] * self.n_slots
         self._owner = [None] * self.n_slots
         self.steps = 0
+        self.spec_rounds = 0
+        self.spec_committed = 0
         if rng is not None:
             self.rng = self._replicate(rng)
 
@@ -459,6 +686,9 @@ class DecodeServer:
                             top_p=self.top_p)[0]
 
     def admit(self, req: Request, slot: int) -> None:
+        if self._spec:
+            assert req.prefix is None, (
+                "prefix caching is not composable with speculative serving")
         if req.prefix is not None:
             pre = self._prefixes[req.prefix]
             plen = pre["plen"]
@@ -480,6 +710,17 @@ class DecodeServer:
             self.cache, self.pos, logits = self._admit_fn(
                 self.params, self.cache, self.pos, jnp.int32(slot), padded,
                 jnp.int32(length))
+            if self._spec:
+                # the verify window writes up to gamma cells past the commit
+                # pointer; keep them inside the cache rows
+                assert (length + req.max_new_tokens + self.gamma
+                        <= self.max_len), (
+                    f"speculative request needs {length + req.max_new_tokens}"
+                    f" + gamma {self.gamma} cache rows > max_len "
+                    f"{self.max_len}")
+                self._draft_cache, _, _ = self._draft_admit_fn(
+                    self._draft_params, self._draft_cache, self.pos,
+                    jnp.int32(slot), padded, jnp.int32(length))
         first = self._sample(logits)
         self.token = self.token.at[slot].set(first)
         # device-side budget: the remaining max_new - 1 ticks end when the
@@ -509,6 +750,8 @@ class DecodeServer:
         (window, n_slots) token block in one device round-trip. Budget and
         EOS freezes happen on-device mid-window; the host truncates each
         owner's stream exactly as the per-tick protocol would."""
+        if self._spec:
+            return self._spec_step()
         active = jnp.asarray(self.active)
         self.rng, r = jax.random.split(self.rng)
         self.cache, self.token, self.pos, toks = self._window_fn(
@@ -522,6 +765,36 @@ class DecodeServer:
                     tok = int(toks[t, slot])
                     owner.tokens.append(tok)
                     self._maybe_finish(slot, tok)
+
+    def _spec_step(self) -> None:
+        """One window of ``self.window`` speculative rounds over all slots.
+
+        The device returns per-round (S, gamma+1) emit blocks and per-slot
+        commit counts (already cut at budget/EOS on device); the host appends
+        exactly the committed prefixes. ``steps`` counts committed tokens —
+        the tick-equivalents a non-speculative server would have spent — so
+        slot-tick utilisation stays comparable; the speculative cost unit is
+        ``spec_rounds`` (each = gamma+1 draft steps + one verify window)."""
+        active = jnp.asarray(self.active)
+        (self.cache, self._draft_cache, self.token, self.pos, emits,
+         counts) = self._spec_window_fn(
+            self.params, self._draft_params, self.cache, self._draft_cache,
+            self.token, self.pos, active, self.limit)
+        emits = jax.device_get(emits)    # (rounds, S, gamma+1)
+        counts = jax.device_get(counts)  # (rounds, S)
+        self.spec_rounds += self.window
+        for r in range(emits.shape[0]):
+            for slot, owner in enumerate(self._owner):
+                if owner is None or not self.active[slot]:
+                    continue
+                for t in range(int(counts[r, slot])):
+                    tok = int(emits[r, slot, t])
+                    owner.tokens.append(tok)
+                    self.steps += 1
+                    self.spec_committed += 1
+                    self._maybe_finish(slot, tok)
+                    if not self.active[slot]:
+                        break
 
     def serve(self, requests: list[Request]) -> list[Request]:
         """Admit-and-step until every request completes (FIFO admission)."""
