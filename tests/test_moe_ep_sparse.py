@@ -195,3 +195,215 @@ def test_ep_sparse_aux_matches_router_aux():
         float(lb), np.mean([float(a["lb"]) for a in shard_aux]), rtol=1e-5)
     np.testing.assert_allclose(
         float(z), np.mean([float(a["z"]) for a in shard_aux]), rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Round 5: productionization — capacity recipe, fused owner FFN, train step
+# ---------------------------------------------------------------------------
+
+
+def test_ep_sparse_capacity_factor_drop_bound():
+    """The Switch recipe ``capacity = ceil(T_loc·k/ep · factor)``: a claim is
+    dropped iff more than ``capacity`` of its shard's claims target the same
+    owner — the kept count per shard equals Σ_owner min(count, capacity),
+    predicted from the routing computed independently; kept rows equal the
+    dense oracle exactly; and factor=ep recovers dropless."""
+    import math
+
+    from vitef_tpu.parallel.moe import _route
+
+    ep, n_experts, top_k = 4, 8, 1
+    cfg = ffn_cfg()
+    params = init_moe_ffn(jax.random.key(7), cfg, n_experts)
+    rng = np.random.default_rng(7)
+    t_loc = 8
+    x = jnp.asarray(rng.normal(size=(t_loc * ep, cfg.emb_dim)).astype(np.float32))
+    dense = np.asarray(apply_moe_ffn(params, cfg, x, top_k=top_k))
+
+    mesh = make_mesh(ep)
+    pspecs = jax.tree.map(lambda s: s.spec, moe_param_shardings(params, mesh))
+    sharded = jax.device_put(params, moe_param_shardings(params, mesh))
+
+    def run(factor):
+        fn = jax.jit(jax.shard_map(
+            lambda p, xx: apply_moe_ffn_ep_sparse(
+                p, cfg, xx, top_k=top_k, capacity_factor=factor),
+            mesh=mesh, in_specs=(pspecs, P("ep")), out_specs=P("ep"),
+            check_vma=False))
+        with pltpu.force_tpu_interpret_mode():
+            return np.asarray(fn(sharded, x))
+
+    # factor = ep -> capacity = T_loc*k: provably dropless == exact oracle
+    np.testing.assert_allclose(run(float(ep)), dense, atol=2e-5, rtol=2e-5)
+
+    # tight factor: predict the kept count from the routing itself
+    factor = 0.5
+    capacity = max(1, math.ceil(t_loc * top_k * factor / ep))
+    e_loc = n_experts // ep
+    expected_kept = 0
+    for s in range(ep):
+        _, _, sel, _ = _route(params, cfg, x[s * t_loc:(s + 1) * t_loc],
+                              top_k, need_probs=False)
+        owners = np.asarray(sel).reshape(-1) // e_loc
+        counts = np.bincount(owners, minlength=ep)
+        expected_kept += int(np.minimum(counts, capacity).sum())
+
+    got = run(factor)
+    kept = np.abs(got).sum(-1) > 0
+    assert kept.sum() == expected_kept, (kept.sum(), expected_kept)
+    assert expected_kept < t_loc * ep  # the bound must actually bite here
+    np.testing.assert_allclose(got[kept], dense[kept], atol=2e-5, rtol=2e-5)
+
+
+def test_ep_sparse_fused_swiglu_owner_matches_oracle():
+    """A 128-multiple swiglu geometry takes the fused-segment owner FFN
+    (ops/gmm_fused.py inside the EP path) and still matches the dense
+    oracle — forward and expert-weight gradients."""
+    from vitef_tpu.parallel.moe import (_fused_swiglu_ok, _sparse_tilings,
+                                        _route)
+
+    ep, n_experts, top_k = 4, 8, 2
+    cfg = ffn_cfg(emb_dim=128, ffn_dim=128, ffn_type="swiglu", n_heads=4)
+    params = init_moe_ffn(jax.random.key(8), cfg, n_experts)
+    rng = np.random.default_rng(8)
+    t_loc = 8
+    x = jnp.asarray(rng.normal(size=(t_loc * ep, cfg.emb_dim)).astype(np.float32))
+
+    # the geometry must be fused-eligible for the bucket row count in play
+    g_rows = t_loc * top_k
+    d = cfg.emb_dim
+    f1 = params["fc1"]["weight"].shape[2]
+    f = params["fc2"]["weight"].shape[1]
+    t1 = _sparse_tilings(ep * g_rows, d, f1, jnp.float32)
+    t2 = _sparse_tilings(ep * g_rows, f, d, jnp.float32)
+    assert _fused_swiglu_ok(t1, t2, f, d), "geometry must take the fused path"
+
+    dense = apply_moe_ffn(params, cfg, x, top_k=top_k)
+    got = run_ep_sparse(params, cfg, x, make_mesh(ep), top_k=top_k)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(dense),
+                               atol=3e-4, rtol=3e-4)
+
+    g = jnp.asarray(rng.normal(size=x.shape).astype(np.float32))
+    dense_grads = jax.grad(
+        lambda p: jnp.sum(apply_moe_ffn(p, cfg, x, top_k=top_k) * g))(params)
+    mesh = make_mesh(ep)
+    pspecs = jax.tree.map(lambda s: s.spec, moe_param_shardings(params, mesh))
+
+    def per_shard(p, xx, gg):
+        grads = jax.grad(lambda pp: jnp.sum(
+            apply_moe_ffn_ep_sparse(pp, cfg, xx, top_k=top_k) * gg))(p)
+        return {"router": jax.lax.psum(grads["router"], "ep"),
+                "fc1": grads["fc1"], "fc2": grads["fc2"]}
+
+    fn = jax.jit(jax.shard_map(
+        per_shard, mesh=mesh, in_specs=(pspecs, P("ep"), P("ep")),
+        out_specs=pspecs, check_vma=False))
+    sharded = jax.device_put(params, moe_param_shardings(params, mesh))
+    with pltpu.force_tpu_interpret_mode():
+        got_g = fn(sharded, x, g)
+    for a, b in zip(jax.tree.leaves(dense_grads), jax.tree.leaves(got_g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-3, rtol=2e-3)
+
+
+def test_moe_ep_train_step_matches_single_device():
+    """make_moe_ep_train_step (dropless) ≡ the plain single-device step on
+    the same global batch: loss, grad norm, and updated params (the expert
+    shards compared slice-for-slice)."""
+    from vitef_tpu.models import TransformerConfig
+    from vitef_tpu.models.transformer import apply_transformer, init_transformer
+    from vitef_tpu.optim import build_optimizer
+    from vitef_tpu.parallel import init_train_state, make_train_step
+    from vitef_tpu.parallel.moe import (make_moe_ep_train_step,
+                                        moe_ep_state_shardings)
+
+    ep = 4
+    cfg = TransformerConfig(
+        vocab_size=32, emb_type="dict", emb_dim=16, n_heads=2, n_layers=2,
+        seq_len=8, ffn_dim=16, ffn_bias=False, causal=True, pre_norm=True,
+        weight_tying=True, output_type="sequence_to_sequence",
+        cls_token=False, pos_emb=True, attn_bias=True, norm_bias=True,
+        attn_impl="xla", norm_impl="xla", n_experts=8, moe_top_k=2,
+    )
+    params = init_transformer(jax.random.key(9), cfg)
+    rng = np.random.default_rng(9)
+    toks = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(2 * ep, 8)),
+                       jnp.int32)
+    batch = (toks, toks)
+
+    tx_ref, _ = build_optimizer(
+        {"optimizer": "sgd", "lr": 0.05, "momentum": 0.9},
+        params=params, components=[], grad_clip=1.0)
+    ref_step = make_train_step(
+        lambda p, x, **kw: apply_transformer(p, cfg, x, **kw),
+        tx_ref, donate=False)
+    ref_state = init_train_state(params, tx_ref)
+    ref_state, ref_m = ref_step(ref_state, batch)
+
+    mesh = Mesh(np.asarray(jax.devices()[:ep]), axis_names=("ep",))
+    tx, _ = build_optimizer({"optimizer": "sgd", "lr": 0.05, "momentum": 0.9})
+    step = make_moe_ep_train_step(cfg, tx, mesh, grad_clip=1.0,
+                                  capacity_factor=None, donate=False)
+    state = init_train_state(params, tx)
+    state = jax.device_put(state, moe_ep_state_shardings(state, mesh))
+    with pltpu.force_tpu_interpret_mode():
+        state, m = step(state, batch)
+
+    np.testing.assert_allclose(float(m["loss"]), float(ref_m["loss"]),
+                               atol=1e-5)
+    np.testing.assert_allclose(float(m["grad_norm"]),
+                               float(ref_m["grad_norm"]), atol=1e-4)
+    for a, b in zip(jax.tree.leaves(ref_state.params),
+                    jax.tree.leaves(jax.device_get(state.params))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_moe_ep_train_step_dp_composition():
+    """('dp','ep') mesh: 2×2 composition still matches the single-device
+    reference (expert grads psum over 'dp', replicated over the mesh)."""
+    from vitef_tpu.models import TransformerConfig
+    from vitef_tpu.models.transformer import apply_transformer, init_transformer
+    from vitef_tpu.optim import build_optimizer
+    from vitef_tpu.parallel import init_train_state, make_train_step
+    from vitef_tpu.parallel.moe import (make_moe_ep_train_step,
+                                        moe_ep_state_shardings)
+
+    dp = ep = 2
+    cfg = TransformerConfig(
+        vocab_size=32, emb_type="dict", emb_dim=16, n_heads=2, n_layers=1,
+        seq_len=8, ffn_dim=16, ffn_bias=False, causal=True, pre_norm=True,
+        weight_tying=True, output_type="sequence_to_sequence",
+        cls_token=False, pos_emb=True, attn_bias=True, norm_bias=True,
+        attn_impl="xla", norm_impl="xla", n_experts=4, moe_top_k=2,
+    )
+    params = init_transformer(jax.random.key(10), cfg)
+    rng = np.random.default_rng(10)
+    toks = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(2 * dp * ep, 8)),
+                       jnp.int32)
+    batch = (toks, toks)
+
+    tx_ref, _ = build_optimizer(
+        {"optimizer": "sgd", "lr": 0.05}, params=params, components=[])
+    ref_step = make_train_step(
+        lambda p, x, **kw: apply_transformer(p, cfg, x, **kw),
+        tx_ref, donate=False)
+    ref_state = init_train_state(params, tx_ref)
+    ref_state, ref_m = ref_step(ref_state, batch)
+
+    mesh = Mesh(np.asarray(jax.devices()[:dp * ep]).reshape(dp, ep),
+                axis_names=("dp", "ep"))
+    tx, _ = build_optimizer({"optimizer": "sgd", "lr": 0.05})
+    step = make_moe_ep_train_step(cfg, tx, mesh, capacity_factor=None,
+                                  donate=False)
+    state = init_train_state(params, tx)
+    state = jax.device_put(state, moe_ep_state_shardings(state, mesh))
+    with pltpu.force_tpu_interpret_mode():
+        state, m = step(state, batch)
+
+    np.testing.assert_allclose(float(m["loss"]), float(ref_m["loss"]),
+                               atol=1e-5)
+    for a, b in zip(jax.tree.leaves(ref_state.params),
+                    jax.tree.leaves(jax.device_get(state.params))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)

@@ -141,7 +141,15 @@ class TransformerConfig:
     # MoE FFN form: sparse = sorted dropless dispatch + grouped matmul
     # (activated FLOPs/weight-traffic only), dense = all-experts gate-masked
     # oracle. auto = sparse on a single-device TPU (parallel/moe.py).
-    moe_impl: str = "auto"  # auto | dense | sparse
+    # ep_sparse = expert-parallel sparse dispatch (row-bucket all_to_all to
+    # the expert owners over an 'ep' mesh axis) — ONLY valid inside a
+    # shard_map with an 'ep' axis (parallel/moe.make_moe_ep_train_step
+    # builds the step; it sets this on its inner config).
+    moe_impl: str = "auto"  # auto | dense | sparse | ep_sparse
+    # Switch capacity-factor for the ep_sparse send buckets:
+    # capacity = ceil(T_loc·top_k/ep · factor). None = provably dropless
+    # (T_loc·top_k rows per bucket — the oracle setting, ep× over-allocated).
+    moe_capacity_factor: float | None = None
     remat: bool = False  # jax.checkpoint each block (HBM↔FLOPs trade)
 
     # Derived (filled in __post_init__)
@@ -605,15 +613,25 @@ def apply_ffn(params: dict, cfg: TransformerConfig, x, *,
         # TPU operating point); 'dense' = gate-masked all-experts oracle
         # (also the GSPMD/int8/bias form; parallel/moe.py's
         # apply_moe_ffn_ep is the same math sharded over an 'ep' axis).
-        from ..parallel.moe import (apply_moe_ffn, apply_moe_ffn_sparse,
-                                    resolve_moe_impl)
+        from ..parallel.moe import (apply_moe_ffn, apply_moe_ffn_ep_sparse,
+                                    apply_moe_ffn_sparse, resolve_moe_impl)
 
         n_tokens = x.size // x.shape[-1]
         # The aux losses are filled from the dispatch path's OWN router
         # forward (parallel/moe._route) — shared by construction, not by
         # XLA CSE (which remat or precision drift could break).
         moe_aux: dict | None = {} if aux_out is not None else None
-        if resolve_moe_impl(cfg, params, n_tokens) == "sparse":
+        impl = resolve_moe_impl(cfg, params, n_tokens)
+        if impl == "ep_sparse":
+            # Expert-parallel sparse dispatch: x is this shard's LOCAL
+            # tokens (the step shards the batch over the mesh); the expert
+            # stacks are P('ep')-sharded slices of the global stacks.
+            out = apply_moe_ffn_ep_sparse(
+                params, cfg, x.reshape(-1, x.shape[-1]),
+                top_k=cfg.moe_top_k,
+                capacity_factor=cfg.moe_capacity_factor,
+                aux=moe_aux).reshape(x.shape)
+        elif impl == "sparse":
             out = apply_moe_ffn_sparse(params, cfg, x, top_k=cfg.moe_top_k,
                                        aux=moe_aux)
         else:

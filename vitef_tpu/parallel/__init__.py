@@ -24,6 +24,8 @@ from .moe import (  # noqa: F401
     apply_moe_ffn_ep_sparse,
     apply_moe_ffn_sparse,
     init_moe_ffn,
+    make_moe_ep_train_step,
+    moe_ep_state_shardings,
     moe_param_shardings,
     resolve_moe_impl,
     router_aux,

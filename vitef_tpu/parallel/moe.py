@@ -28,6 +28,7 @@ compute dtype.
 
 from __future__ import annotations
 
+import math
 from functools import partial
 
 import jax
@@ -84,10 +85,16 @@ def _router_topk(scores, top_k: int):
     p = scores
     for _ in range(top_k):
         i = jnp.argmax(p, axis=-1).astype(jnp.int32)
-        vals.append(jnp.take_along_axis(p, i[..., None], axis=-1)[..., 0])
+        onehot = (iota == i[..., None])
+        # Value read as a masked multiply-reduce, NOT take_along_axis: the
+        # (T, 1)-per-row gather runs at ~6 GB/s on v5e (sub-lane scalar
+        # churn — ~0.08 ms × 3 launches × 12 layers on the 8x124m trace);
+        # the (T, E) select+reduce is one vectorized VPU pass. Same value,
+        # same gradient (cotangent lands on exactly the argmax index).
+        vals.append(jnp.sum(jnp.where(onehot, p, 0.0), axis=-1))
         idxs.append(i)
         # finite sentinel (not -inf): masked entries only re-enter argmax
-        p = jnp.where(iota == i[..., None], jnp.float32(-1e30), p)
+        p = jnp.where(onehot, jnp.float32(-1e30), p)
     return jnp.stack(vals, axis=-1), jnp.stack(idxs, axis=-1)
 
 
@@ -230,28 +237,32 @@ def apply_moe_ffn(params: dict, cfg: TransformerConfig, x, *, top_k: int = 1,
 def _dispatch_rows(x, src, inv, top_k):
     """Fused expand-and-sort dispatch gather: ``x[src]`` for (T, d) tokens.
 
-    ``src[g] = perm[g] // top_k`` maps each sorted claim row directly to its
-    source token, fusing the k-way ``jnp.repeat`` into the dispatch gather
-    (no (G, d) token-major claim buffer is ever materialised). The custom
-    VJP keeps the transpose gather-shaped: un-sort the cotangent with
-    ``inv`` and sum each token's k claim rows — no scatter-add.
+    ``src[g] = perm[g] % T`` maps each sorted claim row directly to its
+    source token (claims are K-MAJOR: claim j·T + t is token t's j-th
+    expert — see apply_moe_ffn_sparse), fusing the k-way repeat into the
+    dispatch gather (no (G, d) claim buffer is ever materialised). The
+    custom VJP keeps the transpose gather-shaped: un-sort the cotangent
+    with ``inv`` and sum each token's k claim rows — no scatter-add.
+    ``mode='clip'``: indices are in-bounds by construction; the jnp default
+    ('fill') appends a (rows, d) oob-select pass to every gather (~0.12 ms
+    × 24 launches on the 8x124m trace).
     """
-    return jnp.take(x, src, axis=0)
+    return jnp.take(x, src, axis=0, mode="clip")
 
 
 def _dispatch_rows_fwd(x, src, inv, top_k):
-    return jnp.take(x, src, axis=0), (inv,)
+    return jnp.take(x, src, axis=0, mode="clip"), (inv,)
 
 
 def _dispatch_rows_bwd(top_k, res, g):
     (inv,) = res
     # Unrolled over top_k (same rationale as _combine_rows): one loop
     # fusion reading k gathered rows per token, no (T, k, d) reshape of a
-    # gathered operand, no materialised token-major claim buffer.
-    inv2 = inv.reshape(-1, top_k)
+    # gathered operand, no materialised claim buffer.
+    invk = inv.reshape(top_k, -1)
     out = None
     for j in range(top_k):
-        c = jnp.take(g, inv2[:, j], axis=0)
+        c = jnp.take(g, invk[j], axis=0, mode="clip")
         out = c if out is None else out + c
     return out, None, None
 
@@ -265,30 +276,34 @@ def _combine_rows(ys, gate, inv, src, perm, top_k):
 
     ``ys`` is the (G, d) SORTED claim outputs; ``gate`` the (T, k) renormed
     router weights (token-major — exactly ``top_p``, no permutation gather
-    needed forward); ``inv`` maps token-major claim g to its sorted row. The
-    result is ``out[t] = Σ_j gate[t,j] · ys[inv[t·k+j]]``.
+    needed forward); ``inv`` maps K-MAJOR claim j·T + t to its sorted row.
+    The result is ``out[t] = Σ_j gate[t,j] · ys[inv[j·T+t]]``.
 
     Folding the gate HERE (round 4) instead of into the fc1 activation
     epilogue keeps the expert matmul chain a pure function of the routed
     rows — which lets the swiglu epilogue fuse into the grouped-matmul
     kernels (ops/gmm_fused.py) — and deletes the per-layer sorted-order
-    gate gather from the forward (the ``take(top_p, perm)`` launches cost
-    ~7 ms/step on the round-4 trace). Backward stays gather-shaped:
-    ``d ys[r] = gate_flat[perm[r]] · dout[src[r]]`` (the same src map as
-    dispatch), ``d gate[t,j] = ys[inv[t·k+j]] · dout[t]`` — no scatter-add
-    anywhere.
+    gate gather from the forward. Backward stays gather-shaped:
+    ``d ys[r] = gate_flat[perm[r]] · dout[src[r]]``,
+    ``d gate[t,j] = <ys[inv[j·T+t]], dout[t]>`` — no scatter-add anywhere.
 
-    Shape discipline (round-4 trace): the claims are unrolled over the
-    small ``top_k`` instead of reshaped to (T, k, d) — the reshape of a
-    gathered operand broke XLA's gather→multiply→reduce fusion and
-    materialised ``ye`` (and, in the old backward, an f32 (T, k, d)
-    broadcast of it) in HBM. Unrolled, the whole forward is ONE loop
-    fusion: read k gathered rows, scale, add, write (T, d).
+    Shape discipline (round-4/5 traces): claims are unrolled over the small
+    ``top_k`` (a (T, k, d) reshape of a gathered operand broke XLA's
+    gather→multiply→reduce fusion), K-MAJOR (a token-major (T, k, d)
+    broadcast in the backward produced a T(2,128)-tiled intermediate +
+    layout-fix reshape, ~3.8 ms/step; k-major builds the same buffer as a
+    fused concat of k aligned (T, d) multiplies), and every gather is
+    ``mode='clip'`` (the 'fill' default pays a (rows, d) oob-select per
+    gather). NO 1-D gathers anywhere: a (G,) gather runs at ~0.26 ms for
+    64 KB on v5e (sub-lane scalar churn — the round-4 form's
+    gate_sorted/d_gate 1-D takes cost ~6 ms/step); every move below is a
+    (rows, d) ROW gather (rides HBM) or a vectorized reduce.
     """
-    inv2 = inv.reshape(-1, top_k)
+    invk = inv.reshape(top_k, -1)  # invk[j, t] = sorted row of claim (t, j)
     out = None
     for j in range(top_k):
-        c = jnp.take(ys, inv2[:, j], axis=0) * gate[:, j, None].astype(ys.dtype)
+        c = (jnp.take(ys, invk[j], axis=0, mode="clip")
+             * gate[:, j, None].astype(ys.dtype))
         out = c if out is None else out + c
     return out
 
@@ -300,15 +315,21 @@ def _combine_rows_fwd(ys, gate, inv, src, perm, top_k):
 
 def _combine_rows_bwd(top_k, res, g):
     ys, gate, inv, src, perm = res
-    gate_sorted = jnp.take(gate.reshape(-1), perm).astype(ys.dtype)
-    gs = jnp.take(g, src, axis=0)  # (G, d) — shared by d_ys AND d_gate
-    d_ys = gs * gate_sorted[:, None]
-    # d_gate[t,j] = <ys[inv[t,j]], g[t]> computed in SORTED order as
-    # c[r] = <ys[r], gs[r]> (src[inv[t,j]] == t), then a tiny (G,) gather —
-    # no second (G, d) gather of ys, no f32 (T, k, d) materialisation; the
-    # converts fuse into the row-dot reduction.
-    c = jnp.sum(ys.astype(jnp.float32) * gs.astype(jnp.float32), axis=-1)
-    d_gate = jnp.take(c, inv).reshape(gate.shape).astype(gate.dtype)
+    # d_ys[r] = gate_flat[perm[r]] · g[src[r]] == (gate ⊙ g claims)[perm[r]]:
+    # pre-scale the cotangent per k-major claim — a fused CONCAT of k
+    # aligned (T, d) multiplies — then ONE row gather un-permutes into
+    # sorted order.
+    gd = jnp.concatenate(
+        [g * gate[:, j, None].astype(g.dtype) for j in range(top_k)], axis=0)
+    d_ys = jnp.take(gd, perm, axis=0, mode="clip").astype(ys.dtype)
+    # d_gate[t,j] = <ys[inv[j·T+t]], g[t]>: k row gathers of ys + row dots
+    # (the same gathers the forward takes).
+    invk = inv.reshape(top_k, -1)
+    gf = g.astype(jnp.float32)
+    dg = [jnp.sum(jnp.take(ys, invk[j], axis=0,
+                           mode="clip").astype(jnp.float32) * gf, axis=-1)
+          for j in range(top_k)]
+    d_gate = jnp.stack(dg, axis=-1).astype(gate.dtype)
     return d_ys, d_gate, None, None, None
 
 
@@ -323,16 +344,16 @@ def _permute_rows(x, perm, inv):
     ``perm`` is bijective); for a permutation the cotangent is exactly
     ``g[inv]`` — another gather, which TPUs execute at memory speed.
     """
-    return jnp.take(x, perm, axis=0)
+    return jnp.take(x, perm, axis=0, mode="clip")
 
 
 def _permute_rows_fwd(x, perm, inv):
-    return jnp.take(x, perm, axis=0), (inv,)
+    return jnp.take(x, perm, axis=0, mode="clip"), (inv,)
 
 
 def _permute_rows_bwd(res, g):
     (inv,) = res
-    return jnp.take(g, inv, axis=0), None, None
+    return jnp.take(g, inv, axis=0, mode="clip"), None, None
 
 
 _permute_rows.defvjp(_permute_rows_fwd, _permute_rows_bwd)
@@ -369,16 +390,17 @@ def resolve_moe_impl(cfg: TransformerConfig, params: dict,
         1.7k sparse vs 2.4k dense, b64 7.9k vs 8.7k, b256 42.3k vs 47.3k.
     """
     impl = getattr(cfg, "moe_impl", "auto")
-    if impl not in ("auto", "dense", "sparse"):
-        raise ValueError(f"unknown moe_impl {impl!r}; choose auto/dense/sparse")
+    if impl not in ("auto", "dense", "sparse", "ep_sparse"):
+        raise ValueError(f"unknown moe_impl {impl!r}; choose "
+                         "auto/dense/sparse/ep_sparse")
     fc1 = params["fc1"]
     unsupported = fc1["weight"].dtype == jnp.int8 or "bias" in fc1
-    if impl == "sparse":
+    if impl in ("sparse", "ep_sparse"):
         if unsupported:
             raise ValueError(
-                "moe_impl='sparse' supports bf16/f32 bias-free experts only "
+                f"moe_impl={impl!r} supports bf16/f32 bias-free experts only "
                 "(int8-quantized or biased expert stacks use 'dense')")
-        return "sparse"
+        return impl
     if impl == "auto":
         if unsupported:
             return "dense"
@@ -687,7 +709,14 @@ def apply_moe_ffn_sparse(params: dict, cfg: TransformerConfig, x, *,
     if aux is not None:
         aux.update(router_aux_from_route(logits, probs, sel))
 
-    flat_ids = sel.reshape(-1)  # token-major claims: row t*k + j
+    # K-MAJOR claims (claim j·T + t = token t's j-th expert): the combine
+    # backward's pre-scaled cotangent buffer is then a fused concat of k
+    # aligned (T, d) multiplies instead of a (T, k, d) broadcast+reshape
+    # with a T(2,128) tile fix (~3.8 ms/step on the round-5 trace). The
+    # counting sort is stable either way; within an expert group the row
+    # ORDER differs from the token-major form but every row's value is
+    # identical, so the combined outputs are bit-equal.
+    flat_ids = sel.transpose(1, 0).reshape(-1)
     g_rows = t_tokens * top_k
     perm, inv, group_sizes = _counting_sort(flat_ids, n_experts)
     t1 = _sparse_tilings(g_rows, d, f1, cd)
@@ -697,10 +726,10 @@ def apply_moe_ffn_sparse(params: dict, cfg: TransformerConfig, x, *,
     g_pad = (g_rows + tm - 1) // tm * tm
     group_sizes = group_sizes.at[n_experts - 1].add(g_pad - g_rows)
 
-    # Sorted claim row g reads token perm[g] // top_k straight from x —
+    # Sorted claim row g reads token perm[g] % T straight from x —
     # repeat and sort fused into ONE gather (src doubles as the combine
     # transpose map).
-    src = perm // top_k
+    src = perm % t_tokens
     src_pad = src
     if g_pad != g_rows:
         src_pad = jnp.concatenate(
@@ -792,6 +821,7 @@ def apply_moe_ffn_ep(params: dict, cfg: TransformerConfig, x, *,
 
 def apply_moe_ffn_ep_sparse(params: dict, cfg: TransformerConfig, x, *,
                             top_k: int = 1, capacity: int | None = None,
+                            capacity_factor: float | None = None,
                             axis_name: str = "ep", aux: dict | None = None):
     """Dropless SPARSE expert parallelism inside ``shard_map`` — the
     multi-chip composition of :func:`apply_moe_ffn_sparse`.
@@ -821,14 +851,22 @@ def apply_moe_ffn_ep_sparse(params: dict, cfg: TransformerConfig, x, *,
     row 0 and are inert (their gate is zero at the combine, so forward
     garbage and backward cotangents both vanish).
 
-    Dropless bound: a claim is dropped iff more than ``capacity`` local
-    claims target the same owner. ``capacity=None`` defaults to
-    ``T_loc · top_k`` — provably dropless (ALL local claims could target one
-    owner) at the cost of ep× bucket over-allocation; production runs with a
-    load-balance loss set ``capacity ≈ ceil(T_loc·top_k/ep) · slack`` (the
-    Switch capacity-factor recipe). The actual bucket is rounded up so every
-    grouped-matmul row tile divides the received row count (no dynamic
-    padding anywhere).
+    Drop bound: a claim is dropped iff more than ``capacity`` local claims
+    target the same owner. Three ways to set it, strongest first:
+
+      - ``capacity=None, capacity_factor=None`` (the default): ``T_loc·top_k``
+        — provably dropless (ALL local claims could target one owner) at the
+        cost of ep× bucket over-allocation. The equivalence/oracle setting.
+      - ``capacity_factor=c``: ``capacity = ceil(T_loc·top_k/ep · c)`` — the
+        Switch-Transformer capacity-factor recipe (Fedus et al.; expected
+        per-owner load is T_loc·top_k/ep under the load-balance loss, c is
+        the slack). ``c=ep`` recovers dropless exactly; the production
+        train step (:func:`make_moe_ep_train_step`) defaults to ``c=2``.
+      - explicit ``capacity=n`` rows.
+
+    The actual bucket is rounded up so every grouped-matmul row tile divides
+    the received row count (no dynamic padding anywhere); the drop bound
+    stays at the requested capacity.
 
     ``aux`` receives this shard's router losses (callers ``pmean`` over the
     axis — both terms are means over tokens, and token shards are equal).
@@ -856,7 +894,12 @@ def apply_moe_ffn_ep_sparse(params: dict, cfg: TransformerConfig, x, *,
     # grouped-matmul row tiles (tilings only depend on static shapes). The
     # DROP bound stays at the requested capacity — the tile round-up only
     # adds inert slots, it must not silently admit more claims.
-    cap_req = capacity if capacity is not None else g_rows
+    if capacity is not None:
+        cap_req = capacity
+    elif capacity_factor is not None:
+        cap_req = max(1, math.ceil(g_rows * capacity_factor / ep))
+    else:
+        cap_req = g_rows
     bucket = cap_req
     t1 = _sparse_tilings(ep * bucket, d, f1, cd)
     t2 = _sparse_tilings(ep * bucket, f, d, cd)
@@ -891,17 +934,23 @@ def apply_moe_ffn_ep_sparse(params: dict, cfg: TransformerConfig, x, *,
     le_recv = jax.lax.all_to_all(slot_le, axis_name, split_axis=0,
                                  concat_axis=0, tiled=True)
 
-    # Owner side: group received rows by local expert, grouped-matmul FFN.
+    # Owner side: group received rows by local expert, grouped-matmul FFN —
+    # the SAME fused-swiglu segment as the single-chip path (the gated
+    # activation lives only in kernel tiles; ops/gmm_fused.py), falling back
+    # to plain gmm + activation for non-swiglu or tiling-irregular geometries.
     perm_o, inv_o, gsz = _counting_sort(le_recv, e_loc)
     xg = _permute_rows(xr, perm_o, inv_o)
     w1 = params["fc1"]["weight"].astype(cd)
-    h = _gmm(xg, w1, gsz, cd, *t1)
-    if cfg.ffn_type.lower() == "swiglu":
-        h = _swiglu_plain(h)
-    else:
-        h = get_activation(cfg.activation)(h)
     w2 = params["fc2"]["weight"].astype(cd)
-    ys = _gmm(h, w2, gsz, cd, *t2)
+    if cfg.ffn_type.lower() == "swiglu" and _fused_swiglu_ok(t1, t2, f, d):
+        ys = _ffn_segment_swiglu(xg, w1, w2, gsz, cd, t1, t2)
+    else:
+        h = _gmm(xg, w1, gsz, cd, *t1)
+        if cfg.ffn_type.lower() == "swiglu":
+            h = _swiglu_plain(h)
+        else:
+            h = get_activation(cfg.activation)(h)
+        ys = _gmm(h, w2, gsz, cd, *t2)
     ys = _permute_rows(ys, inv_o, perm_o)  # back to slot order
 
     # Results return to their senders' slots (the all_to_all is its own
@@ -929,3 +978,167 @@ def moe_param_shardings(params: dict, mesh):
         return NamedSharding(mesh, P())
 
     return jax.tree_util.tree_map_with_path(rule, params)
+
+
+# ---------------------------------------------------------------------------
+# The expert-parallel train step (moe_impl="ep_sparse" end to end)
+# ---------------------------------------------------------------------------
+
+
+def _path_str(path) -> str:
+    return ".".join(str(getattr(p, "key", getattr(p, "idx", p)))
+                    for p in path)
+
+
+def _is_expert_leaf(path, leaf) -> bool:
+    """Expert-stack leaves: (n_experts, ·, ·) weights under a block FFN's
+    fc1/fc2 (the router and every non-MoE leaf stay replicated)."""
+    name = f".{_path_str(path)}."
+    return ((".fc1." in name or ".fc2." in name) and ".ffn." in name
+            and getattr(leaf, "ndim", 0) == 3)
+
+
+def moe_ep_state_shardings(state, mesh):
+    """NamedSharding pytree for a full-model TrainState under expert
+    parallelism: expert stacks (params AND their mirrored optimizer moments)
+    sharded P('ep') on the expert axis, everything else replicated."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def rule(path, leaf):
+        if _is_expert_leaf(path, leaf):
+            return NamedSharding(mesh, P("ep", None, None))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(rule, state)
+
+
+def _ep_state_pspecs(state):
+    from jax.sharding import PartitionSpec as P
+
+    def rule(path, leaf):
+        if _is_expert_leaf(path, leaf):
+            return P("ep", None, None)
+        return P()
+
+    return jax.tree_util.tree_map_with_path(rule, state)
+
+
+def make_moe_ep_train_step(cfg: TransformerConfig, tx, mesh, *,
+                           loss_fn=None, grad_clip: float | None = None,
+                           capacity_factor: float | None = 2.0,
+                           donate: bool = True):
+    """Full-model MoE train step with experts sharded over 'ep' — the
+    end-to-end production form of :func:`apply_moe_ffn_ep_sparse`.
+
+    Mesh: ``('ep',)`` or ``('dp', 'ep')``. The batch is sharded over ALL
+    devices (each device runs the backbone on its own tokens); expert
+    stacks are block-sharded over 'ep' (replicated over 'dp');
+    every other parameter is replicated. Each block's FFN dispatches its
+    local tokens' claims to their expert owners with the row-bucket
+    all_to_all (``capacity_factor`` — the Switch recipe, default 2; None =
+    provably-dropless buckets).
+
+    shard_map AD contract (CLAUDE.md): the differentiated scalar is the
+    per-device objective scaled by 1/n_devices — NO psum inside. SPMD AD
+    then accumulates each expert shard's gradient over its 'ep' group
+    through the transposed all_to_all, so afterwards expert-shard grads
+    only need a psum over 'dp', while replicated-param grads psum over the
+    whole mesh. Aux router losses (``cfg.moe_lb_coef/moe_z_coef``) join the
+    objective per shard and are reported pmean'd as ``moe_lb``/``moe_z``.
+
+    Use :func:`moe_ep_state_shardings` to place the TrainState.
+    """
+    import optax
+    from dataclasses import replace
+
+    from jax.sharding import PartitionSpec as P
+
+    from ..optim import global_grad_norm
+    from .train_step import TrainState, cross_entropy_loss
+
+    assert "ep" in mesh.axis_names, f"mesh {mesh.axis_names} has no 'ep' axis"
+    assert cfg.n_experts > 0, "make_moe_ep_train_step needs an MoE config"
+    has_dp = "dp" in mesh.axis_names and mesh.shape["dp"] > 1
+    n_dev = mesh.shape["ep"] * (mesh.shape["dp"] if has_dp else 1)
+    axes = ("dp", "ep") if has_dp else ("ep",)
+    if loss_fn is None:
+        loss_fn = cross_entropy_loss
+    inner_cfg = replace(cfg, moe_impl="ep_sparse",
+                        moe_capacity_factor=capacity_factor)
+    coefs = (cfg.moe_lb_coef, cfg.moe_z_coef)
+    need_aux = any(c != 0.0 for c in coefs)
+
+    from ..models.transformer import apply_transformer
+
+    def per_shard(state: TrainState, tokens, labels, rng):
+        if rng is not None:
+            ix = jax.lax.axis_index("ep")
+            if has_dp:
+                ix = ix + mesh.shape["ep"] * jax.lax.axis_index("dp")
+            rng = jax.random.fold_in(rng, ix)
+
+        def local_obj(p):
+            out = apply_transformer(p, inner_cfg, tokens,
+                                    deterministic=rng is None, rng=rng,
+                                    return_moe_aux=need_aux)
+            if need_aux:
+                logits, aux = out
+            else:
+                logits, aux = out, {"lb": jnp.zeros(()), "z": jnp.zeros(())}
+            loss = loss_fn(logits, labels)
+            obj = loss + coefs[0] * aux["lb"] + coefs[1] * aux["z"]
+            # 1/n_dev: SPMD AD differentiates Σ_devices obj_dev; the global
+            # objective is the device MEAN (equal token shards).
+            return obj / n_dev, (loss, aux["lb"], aux["z"])
+
+        (_, (loss, lb, z)), grads = jax.value_and_grad(
+            local_obj, has_aux=True)(state.params)
+
+        # Expert shards: AD already summed this shard's grad over its 'ep'
+        # group (transposed all_to_all); add the other 'dp' rows. Replicated
+        # params: each device holds only its own tokens' share — sum all.
+        def reduce_grad(path, g):
+            if _is_expert_leaf(path, g):
+                return jax.lax.psum(g, "dp") if has_dp else g
+            return jax.lax.psum(g, axes)
+
+        grads = jax.tree_util.tree_map_with_path(reduce_grad, grads)
+        loss = jax.lax.pmean(loss, axes)
+        lb = jax.lax.pmean(lb, axes)
+        z = jax.lax.pmean(z, axes)
+
+        # Global grad norm: replicated leaves are identical everywhere;
+        # expert shards contribute their psum over 'ep'.
+        rep_sq = exp_sq = jnp.zeros((), jnp.float32)
+        for path, g in jax.tree_util.tree_leaves_with_path(grads):
+            s = jnp.sum(g.astype(jnp.float32) ** 2)
+            if _is_expert_leaf(path, g):
+                exp_sq = exp_sq + s
+            else:
+                rep_sq = rep_sq + s
+        gnorm = jnp.sqrt(rep_sq + jax.lax.psum(exp_sq, "ep"))
+        if grad_clip is not None:
+            scale = jnp.minimum(1.0, grad_clip / jnp.maximum(gnorm, 1e-12))
+            grads = jax.tree.map(lambda g: g * scale, grads)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params=params, opt_state=opt_state,
+                               step=state.step + 1,
+                               acc_step=state.acc_step * 0)
+        return new_state, {"loss": loss, "grad_norm": gnorm,
+                           "moe_lb": lb, "moe_z": z}
+
+    def train_step(state: TrainState, batch, rng=None):
+        tokens, labels = batch
+        state_specs = _ep_state_pspecs(state)
+        dspec = P(axes if has_dp else "ep")
+        sharded = jax.shard_map(
+            per_shard,
+            mesh=mesh,
+            in_specs=(state_specs, dspec, dspec, P()),
+            out_specs=(state_specs, P()),
+            check_vma=False,
+        )
+        return sharded(state, tokens, labels, rng)
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
