@@ -373,3 +373,166 @@ def test_pipeline_head_matmul_only_in_conditional_branches():
                     f"computation {name}: {line.strip()[:160]}")
     # fwd head + (at least) dW/dh transposes must exist somewhere
     assert n_head_dots >= 2, f"expected head dots in HLO, found {n_head_dots}"
+
+
+# ---------------------------------------------------------------------------
+# 1F1B schedule (round 5)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("dp,pp,n_micro", [(1, 4, 4), (1, 8, 8), (2, 4, 2),
+                                           (1, 2, 6), (1, 4, 7)])
+def test_1f1b_matches_grad_accumulation(dp, pp, n_micro):
+    """1F1B-scheduled step ≡ plain grad_acc_steps=n_micro step — the same
+    contract as the gpipe schedule (execution order, not numerics)."""
+    cfg = tiny_cfg(n_layers=8)
+    params = init_transformer(jax.random.key(1), cfg)
+    batch = make_batch(2 * n_micro * dp, cfg, seed=3)
+    apply_fn = lambda p, x, **kw: apply_transformer(p, cfg, x, **kw)
+
+    tx_ref, _ = build_optimizer(
+        {"optimizer": "sgd", "lr": 0.05, "momentum": 0.9},
+        params=params, components=[], grad_clip=1.0)
+    ref_step = make_train_step(apply_fn, tx_ref, grad_acc_steps=n_micro,
+                               donate=False)
+    ref_state = init_train_state(params, tx_ref)
+    ref_state, ref_m = ref_step(ref_state, batch)
+
+    mesh = build_pipeline_mesh(pp=pp, dp=dp, devices=jax.devices()[: dp * pp])
+    stacked = stack_block_params(params)
+    tx, _ = build_optimizer({"optimizer": "sgd", "lr": 0.05, "momentum": 0.9})
+    step = make_pipeline_train_step(cfg, tx, mesh, n_micro=n_micro,
+                                    grad_clip=1.0, donate=False,
+                                    pp_schedule="1f1b")
+    state = init_train_state(stacked, tx)
+    state = jax.device_put(state, pipeline_state_shardings(state, mesh))
+    state, m = step(state, batch)
+
+    assert np.allclose(float(m["loss"]), float(ref_m["loss"]), atol=1e-5)
+    assert np.allclose(float(m["grad_norm"]), float(ref_m["grad_norm"]),
+                       atol=1e-5)
+    got = unstack_block_params(jax.device_get(state.params))
+    for a, b in zip(jax.tree.leaves(ref_state.params), jax.tree.leaves(got)):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_1f1b_tick_count_and_schedule_metadata():
+    """The 1F1B scan runs n_micro + 2(pp−1) combined fwd+bwd ticks (vs the
+    gpipe forward scan's n_micro + pp − 1) with a 2·pp − 1-slot ring."""
+    cfg = tiny_cfg(n_layers=4)
+    mesh = build_pipeline_mesh(pp=4, dp=2)
+    tx, _ = build_optimizer({"optimizer": "sgd", "lr": 0.05})
+    for sched, ticks in (("gpipe", 8 + 3), ("1f1b", 8 + 6)):
+        step = make_pipeline_train_step(cfg, tx, mesh, n_micro=8,
+                                        pp_schedule=sched, donate=False)
+        assert step.pp_schedule == sched
+        assert step.n_ticks == ticks
+    assert step.n_slots == 2 * 4 - 1
+
+
+def _max_live_act_elems(jaxpr, tokens, emb):
+    """Sizes of every ACTIVATION-shaped intermediate produced anywhere in
+    the jaxpr: float tensors with trailing dims (tokens, emb) — stage
+    activations, the 1f1b ring buffer, and gpipe's stacked residuals all
+    match; weights and the raw (n, C, H, W) input batch (which scales with
+    n_micro by construction) do not."""
+    import jax.extend.core as jcore
+
+    def subjaxprs(val):
+        if isinstance(val, jcore.ClosedJaxpr):
+            yield val.jaxpr
+        elif isinstance(val, jcore.Jaxpr):
+            yield val
+        elif isinstance(val, (tuple, list)):
+            for item in val:
+                yield from subjaxprs(item)
+
+    def walk(jx):
+        for eqn in jx.eqns:
+            for var in eqn.outvars:
+                aval = var.aval
+                if (getattr(aval, "dtype", None) in (jnp.float32, jnp.bfloat16)
+                        and len(aval.shape) >= 2
+                        and aval.shape[-2:] == (tokens, emb)):
+                    yield int(np.prod(aval.shape))
+            for val in eqn.params.values():
+                for sub in subjaxprs(val):
+                    yield from walk(sub)
+
+    return list(walk(jaxpr.jaxpr))
+
+
+def test_1f1b_activation_residency_independent_of_n_micro():
+    """The memory contract: the gpipe AD scan stacks per-tick residuals
+    (activation-sized tensors with a leading n_ticks axis — residency grows
+    with n_micro); 1F1B's biggest activation-shaped intermediate is the
+    fixed (2·pp−1)-slot ring buffer, whatever n_micro is."""
+    cfg = tiny_cfg(n_layers=4)
+    params = init_transformer(jax.random.key(4), cfg)
+    pp = 4
+    mesh = build_pipeline_mesh(pp=pp, dp=1, devices=jax.devices()[:pp])
+    tx, _ = build_optimizer({"optimizer": "sgd", "lr": 0.05})
+    micro = 2
+    tokens = (16 // 8) ** 2 + 1  # hybrid patching of 16x16 images, patch 8
+    act_elems = micro * tokens * cfg.emb_dim
+
+    # Trace the shard_map bodies by jaxpr: compare the largest
+    # activation-multiple tensors for n_micro = 4 vs 12.
+    def max_act(sched, n_micro):
+        step = make_pipeline_train_step(cfg, tx, mesh, n_micro=n_micro,
+                                        pp_schedule=sched, donate=False)
+        state = init_train_state(stack_block_params(params), tx)
+        batch = make_batch(micro * n_micro, cfg, seed=6)
+        jaxpr = jax.make_jaxpr(lambda s, x, y: step(s, (x, y)))(
+            state, *batch)
+        sizes = _max_live_act_elems(jaxpr, tokens, cfg.emb_dim)
+        return max(sizes) if sizes else 0
+
+    small, big = max_act("1f1b", 4), max_act("1f1b", 12)
+    assert big == small, (
+        f"1f1b residency grew with n_micro: {small} -> {big}")
+    # the ring buffer itself: (2pp−1, micro, tokens, emb)
+    assert small == (2 * pp - 1) * act_elems, small
+    # gpipe residuals DO grow with n_micro (the contrast that makes the
+    # bound meaningful)
+    g_small, g_big = max_act("gpipe", 4), max_act("gpipe", 12)
+    assert g_big > g_small, (g_small, g_big)
+
+
+def test_1f1b_dropout_runs_and_is_deterministic():
+    """rng path: same key → same loss; different key → different loss; the
+    bwd recompute (keyed by microbatch+stage) stays finite and learns."""
+    cfg = tiny_cfg(n_layers=4, dropout=0.3)
+    params = init_transformer(jax.random.key(2), cfg)
+    mesh = build_pipeline_mesh(pp=4, dp=2)
+    batch = make_batch(16, cfg, seed=5)
+    tx, _ = build_optimizer({"optimizer": "sgd", "lr": 0.05})
+    step = make_pipeline_train_step(cfg, tx, mesh, n_micro=2, grad_clip=1.0,
+                                    donate=False, pp_schedule="1f1b")
+    state = init_train_state(stack_block_params(params), tx)
+    state = jax.device_put(state, pipeline_state_shardings(state, mesh))
+    _, m_a = step(state, batch, jax.random.key(0))
+    _, m_a2 = step(state, batch, jax.random.key(0))
+    _, m_b = step(state, batch, jax.random.key(1))
+    assert float(m_a["loss"]) == float(m_a2["loss"])
+    assert float(m_a["loss"]) != float(m_b["loss"])
+    assert np.isfinite(float(m_a["loss"]))
+
+
+def test_1f1b_learns():
+    cfg = tiny_cfg(n_layers=4)
+    params = init_transformer(jax.random.key(2), cfg)
+    mesh = build_pipeline_mesh(pp=4, dp=2)
+    batch = make_batch(16, cfg, seed=5)
+    tx, _ = build_optimizer({"optimizer": "sgd", "lr": 0.05,
+                             "momentum": 0.9})
+    step = make_pipeline_train_step(cfg, tx, mesh, n_micro=2, grad_clip=1.0,
+                                    donate=False, pp_schedule="1f1b")
+    state = init_train_state(stack_block_params(params), tx)
+    state = jax.device_put(state, pipeline_state_shardings(state, mesh))
+    losses = []
+    for _ in range(8):
+        state, m = step(state, batch)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0], f"no learning: {losses}"
+    assert np.isfinite(losses).all()

@@ -52,6 +52,31 @@ only the taken branch, so placeholder activations never reach the head/loss
 
 Composes with data parallelism on a ('dp', 'pp') mesh: the batch is sharded
 over 'dp' (replicated over 'pp'), gradients are ``pmean``'d over 'dp'.
+
+Round 5 adds ``pp_schedule="1f1b"`` — a hand-written one-forward-one-
+backward engine (PipeDream-flush semantics) replacing whole-schedule AD:
+
+  - **O(pp) activation residency, independent of n_micro.** The AD-of-scan
+    GPipe form stores stage residuals for every tick — ``n_micro + pp − 1``
+    microbatches' worth per device — so the memory cost grows with the very
+    knob (``n_micro``) that shrinks the bubble. The 1F1B engine keeps a
+    ring buffer of at most ``2·pp − 1`` saved stage INPUTS and recomputes
+    the stage forward inside each backward tick (remat-style): residency is
+    O(pp) single activations, so ``n_micro`` can grow until the bubble
+    ``2(pp−1)/(n_micro + 2(pp−1))`` is negligible.
+  - **Schedule**: tick ``t`` runs forward of microbatch ``t − s`` on stage
+    ``s`` (the eager GPipe front) and backward of microbatch
+    ``t − 2(pp−1) + s`` (cotangents chase the forward down the ring pp−1
+    ticks behind); the last stage turns a microbatch around in ONE tick
+    (head loss differentiated together with its own stage). Total ticks:
+    ``n_micro + 2(pp−1)`` — each tick is one fwd + one bwd stage
+    application in steady state.
+  - **Same numerics**: gradients equal the GPipe form (and the
+    ``grad_acc_steps=n_micro`` reference) up to float reassociation —
+    asserted in tests/test_pipeline.py. Dropout streams are keyed by
+    (microbatch, stage, layer) so the backward recompute replays the
+    forward's exact masks (valid, but a different stream layout than the
+    gpipe schedule's (tick, stage) keying).
 """
 
 from __future__ import annotations
@@ -161,6 +186,7 @@ def make_pipeline_train_step(
     trainable: Any = None,
     remat: bool = False,
     donate: bool = True,
+    pp_schedule: str = "gpipe",
 ):
     """Build the pipelined train step ``(state, batch, rng) -> (state, metrics)``.
 
@@ -185,6 +211,9 @@ def make_pipeline_train_step(
     single-device per-layer split).
     """
     assert "pp" in mesh.axis_names, f"mesh {mesh.axis_names} has no 'pp' axis"
+    assert pp_schedule in ("gpipe", "1f1b"), (
+        f"unknown pipeline schedule {pp_schedule!r}; choose 'gpipe' or "
+        "'1f1b'")
     pp = mesh.shape["pp"]
     has_dp = "dp" in mesh.axis_names and mesh.shape["dp"] > 1
     assert cfg.n_layers % pp == 0, (
@@ -279,13 +308,179 @@ def make_pipeline_train_step(
         # transposed ppermutes — exactly the global gradient.
         return loss_sum / n_micro
 
+    # ------------------------------------------------------------------
+    # 1F1B engine (schedule="1f1b") — hand-written per-stage VJPs.
+    #
+    # AD of the whole GPipe scan stores stage residuals for EVERY tick
+    # (n_micro + pp − 1 microbatches' worth per device); this engine keeps a
+    # ring buffer of ≤ 2·pp − 1 saved stage INPUTS and recomputes the stage
+    # forward inside each backward tick, so activation residency is O(pp)
+    # and n_micro is free to grow (which is what actually shrinks the
+    # bubble fraction 2(pp−1)/(n_micro + 2(pp−1))).
+    #
+    # Schedule (tick t, stage s): forward of microbatch mf = t − s (the
+    # eager GPipe front), backward of mb = t − 2(pp−1) + s. The last stage
+    # turns a microbatch around in one tick: its backward differentiates
+    # head∘stage together, producing the loss AND the cotangent in the same
+    # cond. Cotangents chase the activations down the reverse ring, pp − 1
+    # ticks behind; total ticks = n_micro + 2(pp − 1).
+    # ------------------------------------------------------------------
+
+    def _mb_keys(rng, m, stage):
+        """Dropout streams keyed by (microbatch, stage) — NOT by tick — so
+        the backward tick's recompute replays the forward's exact masks."""
+        if rng is None:
+            return None, None, None
+        rm = jax.random.fold_in(rng, m)
+        return (jax.random.fold_in(rm, 0),
+                jax.random.fold_in(jax.random.fold_in(rm, 1), stage),
+                jax.random.fold_in(rm, 2))
+
+    def one_f_one_b(params, xs, ys, rng):
+        """(per-device mean loss, grads) under the 1F1B schedule."""
+        stage = jax.lax.axis_index("pp")
+        n_ticks = n_micro + 2 * (pp - 1)
+        n_slots = 2 * pp - 1  # max in-flight microbatches per stage
+
+        def embed(emb_p, mb, r):
+            return apply_embedding(emb_p, cfg, mb, deterministic=False, rng=r)
+
+        def head_and_loss(blocks, out_p, emb_p, x, lbl, r_stage, r_head):
+            """loss(head(stage(x))) — the last stage's one-tick turnaround."""
+            y = stage_fn(blocks, x, r_stage)
+            logits = apply_output(out_p, cfg, y, emb_params=emb_p,
+                                  deterministic=False, rng=r_head)
+            return (loss_fn(logits, lbl) / n_micro).astype(jnp.float32)
+
+        # Shape probe only — deterministic=True so dropout>0 configs don't
+        # demand an rng at trace time (shapes are identical either way).
+        act = jax.eval_shape(
+            lambda m: apply_embedding(params["embedding"], cfg, m,
+                                      deterministic=True), xs[0])
+        zeros_act = jnp.zeros(act.shape, act.dtype)
+        zeros_blk = jax.tree.map(jnp.zeros_like, params["blocks"])
+        zeros_emb = jax.tree.map(jnp.zeros_like, params["embedding"])
+        zeros_out = jax.tree.map(jnp.zeros_like, params["output"])
+
+        def tick(carry, t):
+            recv_f, recv_b, buf, gacc, loss_sum = carry
+
+            # ---- forward phase: microbatch mf through this stage ----
+            mf = t - stage
+            valid_f = jnp.logical_and(mf >= 0, mf < n_micro)
+            r_emb_f, r_stage_f, _ = _mb_keys(rng, jnp.maximum(mf, 0), stage)
+            mb = jax.lax.dynamic_index_in_dim(
+                xs, jnp.clip(mf, 0, n_micro - 1), keepdims=False)
+            x_in = jax.lax.cond(
+                jnp.logical_and(stage == 0, valid_f),
+                lambda: embed(params["embedding"], mb, r_emb_f),
+                lambda: recv_f)
+            y_out = jax.lax.cond(
+                valid_f,
+                lambda: stage_fn(params["blocks"], x_in, r_stage_f),
+                lambda: zeros_act)
+            # Save the stage INPUT for the backward recompute (the 1F1B
+            # memory contract: n_slots ring slots, independent of n_micro).
+            buf = jax.lax.cond(
+                valid_f,
+                lambda b: jax.lax.dynamic_update_index_in_dim(
+                    b, x_in, jnp.mod(mf, n_slots), 0),
+                lambda b: b, buf)
+
+            # ---- backward phase: microbatch mb through this stage ----
+            mb_ix = t - 2 * (pp - 1) + stage
+            valid_b = jnp.logical_and(mb_ix >= 0, mb_ix < n_micro)
+            m_safe = jnp.clip(mb_ix, 0, n_micro - 1)
+            r_emb_b, r_stage_b, r_head_b = _mb_keys(rng, m_safe, stage)
+            x_saved = jax.lax.dynamic_index_in_dim(
+                buf, jnp.mod(m_safe, n_slots), keepdims=False)
+            lbl = jax.lax.dynamic_index_in_dim(ys, m_safe, keepdims=False)
+
+            def bwd_last():
+                # Differentiate loss∘head∘stage in one piece: produces the
+                # microbatch loss, the head/tied-embedding grads and the
+                # cotangent to ship upstream — head matmuls run ONLY here
+                # (once per microbatch, last stage), like the gpipe cond.
+                f = lambda blk, op, ep, x: head_and_loss(
+                    blk, op, ep, x, lbl, r_stage_b, r_head_b)
+                loss_m, (dblk, dout, demb, dx) = jax.value_and_grad(
+                    f, argnums=(0, 1, 2, 3))(
+                        params["blocks"], params["output"],
+                        params["embedding"], x_saved)
+                return loss_m, dblk, dout, demb, dx
+
+            def bwd_mid():
+                # Recompute the stage forward under vjp (remat-style; same
+                # (microbatch, stage)-keyed rng ⇒ identical dropout masks)
+                # and pull the downstream cotangent through it.
+                _, vjp = jax.vjp(
+                    lambda blk, x: stage_fn(blk, x, r_stage_b),
+                    params["blocks"], x_saved)
+                dblk, dx = vjp(recv_b)
+                # recv_b already carries the last stage's /n_micro scaling.
+                return jnp.zeros((), jnp.float32), dblk, zeros_out, \
+                    zeros_emb, dx
+
+            def bwd_skip():
+                return (jnp.zeros((), jnp.float32), zeros_blk, zeros_out,
+                        zeros_emb, zeros_act)
+
+            loss_m, dblk, dout, demb, dx = jax.lax.cond(
+                valid_b,
+                lambda: jax.lax.cond(stage == pp - 1, bwd_last, bwd_mid),
+                bwd_skip)
+
+            # Stage 0 additionally backs dx through the embed (x_saved IS
+            # the embed output there). With pp == 1 both this and bwd_last's
+            # tied-head contribution apply — they add.
+            def emb_bwd():
+                mb_b = jax.lax.dynamic_index_in_dim(xs, m_safe,
+                                                    keepdims=False)
+                _, vjp_e = jax.vjp(
+                    lambda ep: embed(ep, mb_b, r_emb_b),
+                    params["embedding"])
+                (de,) = vjp_e(dx)
+                return de
+
+            demb = jax.tree.map(
+                jnp.add, demb,
+                jax.lax.cond(jnp.logical_and(valid_b, stage == 0),
+                             emb_bwd, lambda: zeros_emb))
+
+            gacc = {
+                "blocks": jax.tree.map(jnp.add, gacc["blocks"], dblk),
+                "embedding": jax.tree.map(jnp.add, gacc["embedding"], demb),
+                "output": jax.tree.map(jnp.add, gacc["output"], dout),
+            }
+            loss_sum = loss_sum + loss_m
+            recv_f = jax.lax.ppermute(
+                y_out, "pp", [(i, (i + 1) % pp) for i in range(pp)])
+            recv_b = jax.lax.ppermute(
+                dx, "pp", [(i, (i - 1) % pp) for i in range(pp)])
+            return (recv_f, recv_b, buf, gacc, loss_sum), None
+
+        buf0 = jnp.zeros((n_slots, *act.shape), act.dtype)
+        gacc0 = {"blocks": zeros_blk, "embedding": zeros_emb,
+                 "output": zeros_out}
+        (_, _, _, grads, loss_sum), _ = jax.lax.scan(
+            tick, (zeros_act, zeros_act, buf0, gacc0,
+                   jnp.zeros((), jnp.float32)),
+            jnp.arange(n_ticks))
+        # Per-microbatch losses already carry /n_micro (inside head_and_loss,
+        # so the GRADS are the mean too); loss_sum is the mean loss directly.
+        return loss_sum, grads
+
     def per_shard(state: TrainState, x, y, rng):
         if has_dp and rng is not None:
             rng = jax.random.fold_in(rng, jax.lax.axis_index("dp"))
         micro = x.shape[0] // n_micro
         xs = x.reshape(n_micro, micro, *x.shape[1:])
         ys = y.reshape(n_micro, micro, *y.shape[1:])
-        loss, grads = jax.value_and_grad(pipeline_loss)(state.params, xs, ys, rng)
+        if pp_schedule == "1f1b":
+            loss, grads = one_f_one_b(state.params, xs, ys, rng)
+        else:
+            loss, grads = jax.value_and_grad(pipeline_loss)(
+                state.params, xs, ys, rng)
         # The loss value lives on the last stage; replicate it for reporting
         # (outside the grad, so no cotangent scaling).
         loss = jax.lax.psum(loss, "pp")
@@ -338,4 +533,18 @@ def make_pipeline_train_step(
         )
         return sharded(state, x, y, rng)
 
-    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+    jitted = jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+    def step(state, batch, rng=None):
+        return jitted(state, batch, rng)
+
+    step.lower = jitted.lower  # HLO-inspection surface (placement tests)
+    # Schedule metadata (asserted in tests): the gpipe scan runs
+    # n_micro + pp − 1 forward ticks (AD doubles it implicitly); the 1f1b
+    # scan runs n_micro + 2(pp−1) combined fwd+bwd ticks with O(pp)
+    # activation residency.
+    step.pp_schedule = pp_schedule
+    step.n_ticks = n_micro + (2 * (pp - 1) if pp_schedule == "1f1b"
+                              else pp - 1)
+    step.n_slots = 2 * pp - 1 if pp_schedule == "1f1b" else None
+    return step
