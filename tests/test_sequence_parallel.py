@@ -359,3 +359,50 @@ def test_ring_attention_chunk_bounds_live_scores():
     # scores at full block size would be n*h*lq*lq = 16384; chunked is 2048
     assert max(sizes) < n * h * lq * lq, max(sizes)
     assert max(sizes) <= 4 * n * h * lq * chunk, max(sizes)
+
+
+@pytest.mark.parametrize("causal,zigzag", [(False, False), (True, False),
+                                           (True, True)])
+def test_ring_attention_pallas_hop_matches_xla(causal, zigzag):
+    """impl='pallas' (the hop state-update kernel, interpret mode) matches
+    the einsum hop on the same bf16 inputs — values and gradients. dp=4
+    submesh: interpret-mode pallas under shard_map deadlocks the CPU client
+    at 8 concurrent programs (dev-guide rule)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.default_rng(3)
+    n, h, l, d = 1, 2, 1024, 64
+    sp = 4
+    q, k, v = (jnp.asarray(rng.normal(size=(n, h, l, d)), jnp.bfloat16)
+               for _ in range(3))
+    g = jnp.asarray(rng.normal(size=(n, h, l, d)), jnp.bfloat16)
+    mesh = build_sp_mesh(sp, devices=jax.devices()[:sp])
+    spec = P(None, None, "sp")
+
+    def run(impl):
+        def per_shard(q, k, v, g):
+            def loss(q, k, v):
+                out = ring_attention(q, k, v, causal=causal, zigzag=zigzag,
+                                     impl=impl)
+                return jnp.sum(out.astype(jnp.float32) *
+                               g.astype(jnp.float32))
+            l, grads = jax.value_and_grad(loss, argnums=(0, 1, 2))(q, k, v)
+            fwd = ring_attention(q, k, v, causal=causal, zigzag=zigzag,
+                                 impl=impl)
+            return fwd, grads
+
+        fn = jax.jit(jax.shard_map(
+            per_shard, mesh=mesh, in_specs=(spec,) * 4,
+            out_specs=(spec, (spec,) * 3), check_vma=False))
+        return fn(q, k, v, g)
+
+    with pltpu.force_tpu_interpret_mode():
+        fwd_p, grads_p = run("pallas")
+    fwd_x, grads_x = run("xla")
+    assert np.allclose(np.asarray(fwd_p, np.float32),
+                       np.asarray(fwd_x, np.float32), atol=3e-2), np.abs(
+        np.asarray(fwd_p, np.float32) - np.asarray(fwd_x, np.float32)).max()
+    for gp, gx in zip(grads_p, grads_x):
+        assert np.allclose(np.asarray(gp, np.float32),
+                           np.asarray(gx, np.float32), atol=8e-2), np.abs(
+            np.asarray(gp, np.float32) - np.asarray(gx, np.float32)).max()

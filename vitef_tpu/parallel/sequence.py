@@ -50,6 +50,7 @@ Round-4 production upgrades (VERDICT r3 #6):
 
 from __future__ import annotations
 
+import functools
 import math
 from functools import partial
 from typing import Callable
@@ -58,6 +59,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import shard_map
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..models.norms import apply_norm
@@ -150,8 +153,154 @@ def _attend_block(qf, qpos, kseg, vseg, kpos, state, *, causal: bool,
     return state
 
 
+# ---------------------------------------------------------------------------
+# Pallas hop kernel (round 5): the per-hop online-softmax state update as ONE
+# kernel — scores/probabilities live only in VMEM tiles, the qk/pv matmuls
+# run in bf16 on the MXU with f32 accumulation. The XLA einsum hop keeps the
+# golden-parity f32 semantics (and the CPU-mesh test path); `impl="auto"`
+# picks the kernel for sub-f32 dtypes on a TPU backend, exactly like
+# ops/common.resolve_impl does for the packed MHA kernel.
+# ---------------------------------------------------------------------------
+
+
+def _hop_state_kernel(q_ref, k_ref, v_ref, qp_ref, kp_ref, m_ref, s_ref,
+                      a_ref, mo_ref, so_ref, ao_ref, *, sm_scale, causal,
+                      block_kv):
+    """One program = all heads for one (batch, q-block): fold the visiting
+    K/V block into (m, s, acc), key-chunk by key-chunk.
+
+    Same math as :func:`_attend_block` (including the robust masking — a
+    fully-masked chunk contributes exactly zero regardless of hop order),
+    with bf16 matmuls + f32 statistics instead of the einsum path's
+    f32-HIGHEST contractions."""
+    q = q_ref[:]  # (h, bq, d) input dtype
+    h, lk, d = k_ref.shape
+    qp = qp_ref[0]  # (bq,) global q positions
+
+    def body(j, carry):
+        m, s, acc = carry
+        kc = k_ref[:, pl.ds(j * block_kv, block_kv), :]
+        vc = v_ref[:, pl.ds(j * block_kv, block_kv), :]
+        scores = jax.lax.dot_general(
+            q, kc, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * sm_scale
+        if causal:
+            kp = kp_ref[0, pl.ds(j * block_kv, block_kv)]  # (bkv,)
+            mask = kp[None, :] <= qp[:, None]  # (bq, bkv)
+            scores = jnp.where(mask[None], scores, _NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(scores, axis=-1, keepdims=True))
+        p = jnp.exp(scores - m_new)
+        if causal:
+            p = jnp.where(mask[None], p, 0.0)
+        corr = jnp.exp(m - m_new)
+        s_new = s * corr + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * corr + jax.lax.dot_general(
+            p.astype(vc.dtype), vc, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        return m_new, s_new, acc_new
+
+    m, s, acc = jax.lax.fori_loop(
+        0, lk // block_kv, body, (m_ref[:], s_ref[:], a_ref[:]))
+    mo_ref[:] = m
+    so_ref[:] = s
+    ao_ref[:] = acc
+
+
+def _hop_pallas_call(q, qpos, kseg, vseg, kpos, m, s, acc, *, causal,
+                     block_kv, sm_scale):
+    n, h, lq, d = q.shape
+    lk = kseg.shape[2]
+    bq = lq if lq <= 256 else 256
+    bkv = min(block_kv, lk)
+    grid = (n, lq // bq)
+    kernel = functools.partial(_hop_state_kernel, sm_scale=sm_scale,
+                               causal=causal, block_kv=bkv)
+    def bspec(shape, imap):
+        return pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
+
+    q_spec = bspec((None, h, bq, d), lambda b, i: (b, 0, i, 0))
+    acc_spec = bspec((None, h, bq, d), lambda b, i: (b, 0, i, 0))
+    kv_spec = bspec((None, h, lk, d), lambda b, i: (b, 0, 0, 0))
+    st1_spec = bspec((None, h, bq, 1), lambda b, i: (b, 0, i, 0))
+    qp_spec = bspec((1, bq), lambda b, i: (0, i))
+    kp_spec = bspec((1, lk), lambda b, i: (0, 0))
+    std = jax.ShapeDtypeStruct
+    mo, so, ao = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[q_spec, kv_spec, kv_spec, qp_spec, kp_spec,
+                  st1_spec, st1_spec, acc_spec],
+        out_specs=[st1_spec, st1_spec, acc_spec],
+        out_shape=[std((n, h, lq, 1), jnp.float32),
+                   std((n, h, lq, 1), jnp.float32),
+                   std((n, h, lq, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * h * lq * lk * d,
+            bytes_accessed=(2 * h * lk * d + h * lq * d) * q.dtype.itemsize
+            + 2 * h * lq * (2 + d) * 4,
+            transcendentals=h * lq * lk,
+        ),
+    )(q, kseg, vseg, qpos.reshape(1, -1), kpos.reshape(1, -1), m, s, acc)
+    return mo, so, ao
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+def _attend_state_pallas(q, qpos, kseg, vseg, kpos, m, s, acc, causal,
+                         chunk, scale):
+    """Kernel hop with an einsum-recompute backward: the forward runs
+    :func:`_hop_state_kernel`; the VJP replays the hop through the
+    :func:`_attend_block` einsum path (remat-style — the hop inputs are the
+    only residuals) and differentiates that. Values agree to bf16 matmul
+    accumulation order; gradients are exactly the einsum hop's."""
+    bkv = min(chunk or 512, kseg.shape[2])
+    return _hop_pallas_call(q, qpos, kseg, vseg, kpos, m, s, acc,
+                            causal=causal, block_kv=bkv, sm_scale=scale)
+
+
+def _attend_state_pallas_fwd(q, qpos, kseg, vseg, kpos, m, s, acc, causal,
+                             chunk, scale):
+    out = _attend_state_pallas(q, qpos, kseg, vseg, kpos, m, s, acc, causal,
+                               chunk, scale)
+    return out, (q, qpos, kseg, vseg, kpos, m, s, acc)
+
+
+def _attend_state_pallas_bwd(causal, chunk, scale, res, ct):
+    q, qpos, kseg, vseg, kpos, m, s, acc = res
+
+    def f(q_, k_, v_, m_, s_, a_):
+        qf = q_.astype(jnp.float32) * scale
+        return _attend_block(qf, qpos, k_, v_, kpos, (m_, s_, a_),
+                             causal=causal, chunk=chunk)
+
+    _, vjp = jax.vjp(f, q, kseg, vseg, m, s, acc)
+    dq, dk, dv, dm, ds, dacc = vjp(ct)
+    return dq.astype(q.dtype), None, dk.astype(kseg.dtype), \
+        dv.astype(vseg.dtype), None, dm, ds, dacc
+
+
+_attend_state_pallas.defvjp(_attend_state_pallas_fwd, _attend_state_pallas_bwd)
+
+
+def _hop_pallas_ok(q, lseg: int, d: int) -> bool:
+    """Kernel eligibility: TPU backend, sub-f32 dtype (f32 keeps the
+    golden-parity einsum semantics, mirroring ops/common.resolve_impl),
+    8/128-aligned segment, and the full-block K/V residency within the
+    kernel's VMEM budget."""
+    if jax.default_backend() != "tpu":
+        return False
+    if q.dtype.itemsize >= 4:
+        return False
+    if lseg % 128 or d % 64:
+        return False
+    h = q.shape[1]
+    return 2 * h * lseg * d * q.dtype.itemsize <= 48 * 1024 * 1024
+
+
 def ring_attention(q, k, v, *, axis_name: str = "sp", causal: bool = False,
-                   zigzag: bool = False, chunk: int | None = 512):
+                   zigzag: bool = False, chunk: int | None = 512,
+                   impl: str = "auto"):
     """Blockwise-softmax attention over a sequence-sharded ring.
 
     ``q, k, v``: the local (N, h, Lloc, d) shards of (N, h, L, d) tensors
@@ -167,7 +316,15 @@ def ring_attention(q, k, v, *, axis_name: str = "sp", causal: bool = False,
     scan saves only O(sp) block inputs and AD transposes the ppermute ring.
     ``chunk`` bounds the live f32 score tensor to (N, h, Lq-seg, chunk);
     ``None`` disables inner chunking.
+
+    ``impl``: 'xla' = the einsum hop (f32-HIGHEST contractions — golden
+    parity, and the CPU-mesh test path); 'pallas' = the hop state update as
+    one kernel per (batch, q-block) program (bf16 MXU matmuls + f32
+    statistics; backward replays the einsum hop — remat with the kernel
+    forward); 'auto' = pallas for sub-f32 dtypes on a TPU backend with
+    aligned segments, else xla.
     """
+    assert impl in ("auto", "xla", "pallas"), impl
     sp = jax.lax.axis_size(axis_name)
     me = jax.lax.axis_index(axis_name)
     n, h, lq, d = q.shape
@@ -176,12 +333,17 @@ def ring_attention(q, k, v, *, axis_name: str = "sp", causal: bool = False,
     scale = 1.0 / math.sqrt(d)
     perm = [(i, (i + 1) % sp) for i in range(sp)]
 
-    qf = q.astype(jnp.float32) * scale
     pos = _shard_positions(me, lq, sp, zigzag)
 
     n_seg = 2 if zigzag else 1
     lseg = lq // n_seg
-    qsegs = [qf[..., i * lseg:(i + 1) * lseg, :] for i in range(n_seg)]
+    use_pallas = impl == "pallas" or (impl == "auto"
+                                      and _hop_pallas_ok(q, lseg, d))
+    # kernel path: q stays in the compute dtype (scale folds into the
+    # kernel); einsum path: pre-scaled f32 queries (HIGHEST-precision
+    # golden semantics)
+    qh = q if use_pallas else q.astype(jnp.float32) * scale
+    qsegs = [qh[..., i * lseg:(i + 1) * lseg, :] for i in range(n_seg)]
     qpos_segs = [pos[i * lseg:(i + 1) * lseg] for i in range(n_seg)]
 
     def zero_state():
@@ -198,13 +360,26 @@ def ring_attention(q, k, v, *, axis_name: str = "sp", causal: bool = False,
                 kseg = kt[..., ki * lseg:(ki + 1) * lseg, :]
                 vseg = vt[..., ki * lseg:(ki + 1) * lseg, :]
                 kp = kpos[ki * lseg:(ki + 1) * lseg]
-                attend = partial(_attend_block, qsegs[qi], qpos_segs[qi],
-                                 kseg, vseg, kp, causal=causal, chunk=chunk)
-                if causal:
+                if use_pallas:
+                    attend = partial(
+                        lambda qs, qp_, ks, vs, kp_, st: _attend_state_pallas(
+                            qs, qp_, ks, vs, kp_, *st, causal, chunk, scale),
+                        qsegs[qi], qpos_segs[qi], kseg, vseg, kp)
+                else:
+                    attend = partial(_attend_block, qsegs[qi], qpos_segs[qi],
+                                     kseg, vseg, kp, causal=causal,
+                                     chunk=chunk)
+                if causal and not (use_pallas
+                                   and jax.default_backend() != "tpu"):
                     # Fully-future k segment for every row of this q segment:
                     # SKIP the matmuls at runtime (device-varying lax.cond —
                     # the zigzag load-balance win; also saves early-ring
                     # devices' dead hops in the contiguous layout).
+                    # Interpret-mode pallas (CI) must NOT sit under a
+                    # device-varying cond: its io_callback barrier spans all
+                    # mesh devices, so skipped devices deadlock the rest —
+                    # executing the dead block instead is exact (a fully-
+                    # masked chunk contributes zero by the kernel's masking).
                     skip = jnp.min(kp) > jnp.max(qpos_segs[qi])
                     st = jax.lax.cond(skip, lambda s: s, attend, st)
                 else:
@@ -214,8 +389,14 @@ def ring_attention(q, k, v, *, axis_name: str = "sp", causal: bool = False,
         return (tuple(new_states), kt, vt, kpos), None
 
     init = (tuple(zero_state() for _ in range(n_seg)), k, v, pos)
-    (states, _, _, _), _ = jax.lax.scan(jax.checkpoint(hop), init, None,
-                                        length=sp)
+    # Einsum hops get jax.checkpoint (save only the O(sp) hop inputs; the
+    # f32 score chunks are recomputed in the backward). The pallas hop is
+    # ALREADY remat-style — its custom VJP saves exactly the hop inputs and
+    # replays the einsum path backward — so the wrapper adds nothing there,
+    # and interpret-mode pallas (CI) carries an OrderedIOEffect that
+    # checkpoint's partial-eval rejects.
+    body = hop if use_pallas else jax.checkpoint(hop)
+    (states, _, _, _), _ = jax.lax.scan(body, init, None, length=sp)
     # causal: every query sees at least its own position → s > 0
     outs = [(acc / jnp.maximum(s, 1e-30)) for (_, s, acc) in states]
     return jnp.concatenate(outs, axis=2).astype(q.dtype)
