@@ -126,10 +126,17 @@ def _packed_mha_fwd_kernel(qkv_ref, b_ref, *rest, scale, n_heads, d, causal,
                 s = jax.lax.dot_general(
                     qb, kh[:kv_len], (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32) * (scale * _LOG2E)
-                qp = qi * q_block + jax.lax.broadcasted_iota(
-                    jnp.int32, (q_block, kv_len), 0)
-                kp = jax.lax.broadcasted_iota(jnp.int32, (q_block, kv_len), 1)
-                s = jnp.where(kp <= qp, s, _NEG_INF)
+                # Diagonal-only causal mask: full past blocks are entirely
+                # visible (where(True, s) ≡ s), so the iota+where VPU pass
+                # runs on the (BQ, BQ) diagonal block only — ~2.5x less
+                # mask work per strip at L=1024, bit-identical.
+                past = qi * q_block
+                qp = jax.lax.broadcasted_iota(
+                    jnp.int32, (q_block, q_block), 0)
+                kp = jax.lax.broadcasted_iota(
+                    jnp.int32, (q_block, q_block), 1)
+                diag = jnp.where(kp <= qp, s[:, past:], _NEG_INF)
+                s = jnp.concatenate([s[:, :past], diag], -1) if past else diag
                 if kmask is not None:
                     s = jnp.where(kmask[:, :kv_len], s, _NEG_INF)
                 m = jnp.max(s, axis=-1, keepdims=True)
@@ -201,10 +208,13 @@ def _packed_mha_bwd_causal_blocked_kernel(qkv_ref, b_ref, g_ref, dqkv_ref,
             qb, qkv[:kv_len, e + h * d:e + (h + 1) * d],
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
-        qp = qi * q_block + jax.lax.broadcasted_iota(
-            jnp.int32, (q_block, kv_len), 0)
-        kp = jax.lax.broadcasted_iota(jnp.int32, (q_block, kv_len), 1)
-        s = jnp.where(kp <= qp, s, _NEG_INF)
+        # Diagonal-only causal mask (see the fwd kernel): past blocks are
+        # fully visible; mask the (BQ, BQ) diagonal block only.
+        past = qi * q_block
+        qp = jax.lax.broadcasted_iota(jnp.int32, (q_block, q_block), 0)
+        kp = jax.lax.broadcasted_iota(jnp.int32, (q_block, q_block), 1)
+        diag = jnp.where(kp <= qp, s[:, past:], _NEG_INF)
+        s = jnp.concatenate([s[:, :past], diag], -1) if past else diag
         m = jnp.max(s, axis=-1, keepdims=True)
         ex = jnp.exp(s - m)
         return ex / jnp.sum(ex, axis=-1, keepdims=True)  # (BQ, kv_len)
