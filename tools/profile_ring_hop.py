@@ -28,22 +28,29 @@ from vitef_tpu.parallel.sequence import (
 )
 
 REPEATS = 3
-CHAIN = 16  # hops chained in ONE dispatch (a lax.scan feeding the state
-# through, like the ring itself does) — a single hop is ~10-100 µs of
-# compute, far below the ~3 ms axon-tunnel dispatch RTT, so per-dispatch
-# timing measures the tunnel, not the kernel.
+# Hops are chained in ONE dispatch (a lax.scan feeding the state through,
+# like the ring itself does) and the per-hop time is the SLOPE between two
+# chain lengths: (t(C2) - t(C1)) / (C2 - C1). A single hop is ~10-100 µs of
+# compute while the axon-tunnel dispatch+fetch overhead measured ~75 ms on
+# this boot — the slope cancels every fixed per-dispatch cost exactly.
+CHAINS = (16, 144)
 
 
-def bench(fn, *args):
-    out = fn(*args)
-    jax.tree.map(lambda x: float(jnp.sum(x.astype(jnp.float32))), out)
-    best = float("inf")
-    for _ in range(REPEATS):
-        t0 = time.perf_counter()
+def bench(make, *args):
+    ts = []
+    for chain in CHAINS:
+        fn = make(chain)
         out = fn(*args)
         jax.tree.map(lambda x: float(jnp.sum(x.astype(jnp.float32))), out)
-        best = min(best, time.perf_counter() - t0)
-    return best / CHAIN * 1000
+        best = float("inf")
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            out = fn(*args)
+            jax.tree.map(lambda x: float(jnp.sum(x.astype(jnp.float32))),
+                         out)
+            best = min(best, time.perf_counter() - t0)
+        ts.append(best)
+    return (ts[1] - ts[0]) / (CHAINS[1] - CHAINS[0]) * 1000
 
 
 def run(length, sp=8, n=1, h=12, d=64):
@@ -73,24 +80,30 @@ def run(length, sp=8, n=1, h=12, d=64):
                                     scale)
 
     def chained(one_hop):
-        # CHAIN hops feeding the online-softmax state through — the ring's
-        # actual access pattern, and one dispatch so the tunnel RTT
-        # amortizes away.
-        def f(q, k, v, m, s, a):
-            def body(st, _):
-                return one_hop(q, k, v, st), None
-            (m, s, a), _ = jax.lax.scan(body, (m, s, a), None, length=CHAIN)
-            return m, s, a
-        return jax.jit(f)
+        # `chain` hops feeding the online-softmax state through — the
+        # ring's actual access pattern, one dispatch per chain length.
+        def make(chain):
+            def f(q, k, v, m, s, a):
+                def body(st, _):
+                    return one_hop(q, k, v, st), None
+                (m, s, a), _ = jax.lax.scan(body, (m, s, a), None,
+                                            length=chain)
+                return m, s, a
+            return jax.jit(f)
+        return make
 
     def grads_of(one_hop):
-        def loss(q, k, v):
-            def body(st, _):
-                return one_hop(q, k, v, st), None
-            (m, s, a), _ = jax.lax.scan(jax.checkpoint(body), (m0, s0, a0),
-                                        None, length=CHAIN)
-            return jnp.sum((a / jnp.maximum(s, 1e-30)).astype(jnp.float32))
-        return jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
+        def make(chain):
+            def loss(q, k, v):
+                def body(st, _):
+                    return one_hop(q, k, v, st), None
+                (m, s, a), _ = jax.lax.scan(jax.checkpoint(body),
+                                            (m0, s0, a0), None,
+                                            length=chain)
+                return jnp.sum(
+                    (a / jnp.maximum(s, 1e-30)).astype(jnp.float32))
+            return jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
+        return make
 
     ms_x = bench(chained(one_hop_xla), q, k, v, m0, s0, a0)
     ms_p = bench(chained(one_hop_pallas), q, k, v, m0, s0, a0)
